@@ -1,0 +1,142 @@
+"""Offline chunked voice conversion — the parity target pipeline.
+
+Reproduces inference.py:87-134: the input is peak-normalized, padded by one
+chunk on each side, cut into overlapping 3-chunk windows with 1-chunk stride
+(overlap-discard), each window converted independently, and the center chunk
+kept.  The per-window conversion is a single jitted program:
+
+    wave → STFT → [F0 estimate → pitch/intonation math] ∥ [ContentEncoder →
+    kNN match vs target matrix] → DDSP decoder → wave
+
+All windows are processed as one batched tensor [num_windows, 3*chunk] — on
+TPU the overlap-discard scheme *is* the data-parallel axis, so a whole
+utterance becomes one MXU-dense batch instead of the reference's sequential
+python loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alivevc_tpu.config import DecoderConfig, InferenceConfig
+from alivevc_tpu.models.content_encoder import content_encoder
+from alivevc_tpu.models.decoder import decoder
+from alivevc_tpu.models.f0_estimator import f0_estimate
+from alivevc_tpu.ops.knn import match_features
+from alivevc_tpu.ops.pitch import apply_intonation
+from alivevc_tpu.ops.resample import resample
+from alivevc_tpu.ops.stft import spectrogram
+
+
+@functools.partial(jax.jit, static_argnames=("k", "dec_cfg"))
+def convert_window(
+    ce_params,
+    f0_params,
+    dec_params,
+    window: jax.Array,      # [N, Lw] windows at 16 kHz
+    tgt: jax.Array,          # [Lr, 768] target matrix (encoder frames + library)
+    f0_rate: float = 1.0,
+    pitch_shift: float = 0.0,
+    intonation: float = 1.0,
+    k: int = 4,
+    alpha: float = 0.0,
+    dec_cfg: DecoderConfig = DecoderConfig(),
+) -> jax.Array:
+    """Convert a batch of 16 kHz windows; returns [N, Lw] converted audio."""
+    spec = spectrogram(window)
+    f0 = f0_estimate(f0_params, spec)                       # [N, T, 1]
+    # per-window intonation scaling about the voiced mean (inference.py:119-126)
+    f0 = jax.vmap(lambda f: apply_intonation(f, intonation, pitch_shift))(f0)
+    feat = content_encoder(ce_params, spec)
+    feat = match_features(feat, tgt, k=k, alpha=alpha)
+    wave, _ = decoder(dec_params, feat, f0 * f0_rate, cfg=dec_cfg)
+    return wave
+
+
+def build_target_matrix(
+    ce_params,
+    target_wave: Optional[np.ndarray] = None,
+    library_tokens: Optional[jax.Array] = None,
+    decimation: int = 1,
+) -> jax.Array:
+    """Target matrix [Lr, 768]: encoder output of a target utterance (already
+    at 16 kHz, peak-normalized) concatenated with library tokens
+    (inference.py:66-82, realtime_inference.py:79-96)."""
+    parts = []
+    if target_wave is not None:
+        w = jnp.asarray(target_wave, jnp.float32)[None, :]
+        feat = content_encoder(ce_params, spectrogram(w))[0]
+        if decimation > 1:
+            feat = feat[::decimation]
+        parts.append(feat)
+    if library_tokens is not None:
+        parts.append(library_tokens)
+    if not parts:
+        raise ValueError("need a target utterance and/or a voice library")
+    return jnp.concatenate(parts, axis=0)
+
+
+class OfflineConverter:
+    """File-level driver mirroring inference.py's chunked overlap-discard."""
+
+    def __init__(
+        self,
+        ce_params,
+        f0_params,
+        dec_params,
+        tgt: jax.Array,
+        cfg: InferenceConfig = InferenceConfig(),
+        dec_cfg: DecoderConfig = DecoderConfig(),
+        sample_rate: int = 16_000,
+    ):
+        self.ce = ce_params
+        self.f0 = f0_params
+        self.dec = dec_params
+        self.tgt = tgt
+        self.cfg = cfg
+        self.dec_cfg = dec_cfg
+        self.sample_rate = sample_rate
+
+    def convert_16k(self, wave: np.ndarray) -> np.ndarray:
+        """wave [L] mono at 16 kHz → converted [L] (peak-normalized input)."""
+        cfg = self.cfg
+        c = cfg.chunk
+        wave = np.asarray(wave, np.float32)
+        total = wave.shape[0]
+        peak = np.abs(wave).max()
+        if peak > 0:
+            wave = wave / peak
+        # pad + unfold into [M, 3c] windows, stride c (inference.py:96-101)
+        padded = np.concatenate([np.zeros(c, np.float32), wave,
+                                 np.zeros(4 * c, np.float32)])
+        m = (padded.shape[0] - 3 * c) // c + 1
+        windows = np.stack([padded[i * c : i * c + 3 * c] for i in range(m)])
+
+        out = convert_window(
+            self.ce, self.f0, self.dec, jnp.asarray(windows), self.tgt,
+            cfg.f0_rate, cfg.pitch_shift, cfg.intonation, cfg.k, cfg.alpha,
+            self.dec_cfg,
+        )
+        out = np.asarray(out)[:, c:-c].reshape(-1)[:total]
+        out = out * (10.0 ** (cfg.gain_db / 20.0))
+        if cfg.normalize and np.abs(out).max() > 0:
+            out = out / np.abs(out).max()
+        return out
+
+    def convert(self, wave: np.ndarray, sr: int) -> np.ndarray:
+        """Arbitrary-rate in/out: resample → convert → resample back."""
+        if wave.ndim == 2:  # [C, L] → mono
+            wave = wave.mean(axis=0)
+        if sr != self.sample_rate:
+            wave16 = np.asarray(resample(jnp.asarray(wave)[None], sr, self.sample_rate))[0]
+        else:
+            wave16 = wave
+        out16 = self.convert_16k(wave16)
+        if sr != self.sample_rate:
+            return np.asarray(resample(jnp.asarray(out16)[None], self.sample_rate, sr))[0]
+        return out16

@@ -1,0 +1,116 @@
+"""Phase-continuous streaming voice conversion.
+
+Reproduces realtime_inference.py:122-190 as a pure jitted step over an
+explicit carried state, so the whole hop (analysis window → conversion →
+center-chunk output) is one compiled TPU program:
+
+  state = (ring window [1, W] at 16 kHz, phi [1, 1, Nh])
+  step(state, new_chunk) → (state', out_chunk)
+
+The reference recomputes the full 8-chunk (480 ms) window every 60 ms hop and
+achieves cross-chunk continuity with `crop` phase re-zeroing plus the carried
+principal-value pseudo-phase phi = asin(sin θ) sampled at ``end_of_output``
+(module/decoder.py:91-95, realtime_inference.py:166-167).  Audio I/O stays on
+the host (io/audio.py); this module is the math.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alivevc_tpu.config import DecoderConfig, StreamingConfig
+from alivevc_tpu.models.content_encoder import content_encoder
+from alivevc_tpu.models.decoder import decoder
+from alivevc_tpu.models.f0_estimator import f0_estimate
+from alivevc_tpu.ops.knn import match_features
+from alivevc_tpu.ops.pitch import shift_pitch
+from alivevc_tpu.ops.stft import spectrogram
+
+
+class StreamState(NamedTuple):
+    window: jax.Array  # [1, buffer_size*chunk] rolling 16 kHz window
+    phi: jax.Array     # [1, 1, num_harmonics] carried pseudo-phase
+
+
+def init_stream_state(
+    cfg: StreamingConfig = StreamingConfig(),
+    dec_cfg: DecoderConfig = DecoderConfig(),
+) -> StreamState:
+    return StreamState(
+        window=jnp.zeros((1, cfg.buffer_size * cfg.chunk), jnp.float32),
+        phi=jnp.zeros((1, 1, dec_cfg.num_harmonics), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dec_cfg", "k"))
+def streaming_step(
+    ce_params,
+    f0_params,
+    dec_params,
+    state: StreamState,
+    new_chunk: jax.Array,   # [chunk] fresh 16 kHz samples
+    tgt: jax.Array,          # [Lr, 768]
+    f0_rate: float = 1.0,
+    pitch_shift: float = 0.0,
+    k: int = 4,
+    alpha: float = 0.0,
+    cfg: StreamingConfig = StreamingConfig(),
+    dec_cfg: DecoderConfig = DecoderConfig(),
+) -> Tuple[StreamState, jax.Array]:
+    """One 60 ms hop.  Returns (state', center chunk [chunk] of output)."""
+    chunk = cfg.chunk
+    window = jnp.concatenate([state.window[:, chunk:], new_chunk[None, :]], axis=1)
+
+    center = (chunk * cfg.buffer_size) // 2
+    begin_out = center - chunk // 2
+    end_out = center + chunk // 2
+
+    spec = spectrogram(window)
+    content = content_encoder(ce_params, spec)
+    f0 = f0_estimate(f0_params, spec) * f0_rate
+    f0 = shift_pitch(f0, pitch_shift)
+    content = match_features(content, tgt, k=k, alpha=alpha)
+    wave, phi_out = decoder(
+        dec_params, content, f0, phi=state.phi, crop=(begin_out, end_out), cfg=dec_cfg
+    )
+    phi_next = phi_out[:, end_out][:, None, :]
+    out = wave[0, begin_out:end_out]
+    return StreamState(window=window, phi=phi_next), out
+
+
+class StreamingConverter:
+    """Host-side wrapper holding params/state; feed 16 kHz chunks, get 16 kHz
+    converted chunks with ``buffer_size/2`` chunks of latency."""
+
+    def __init__(
+        self,
+        ce_params,
+        f0_params,
+        dec_params,
+        tgt: jax.Array,
+        cfg: StreamingConfig = StreamingConfig(),
+        dec_cfg: DecoderConfig = DecoderConfig(),
+    ):
+        self.ce, self.f0, self.dec = ce_params, f0_params, dec_params
+        self.tgt = tgt
+        self.cfg = cfg
+        self.dec_cfg = dec_cfg
+        self.state = init_stream_state(cfg, dec_cfg)
+
+    def reset(self):
+        self.state = init_stream_state(self.cfg, self.dec_cfg)
+
+    def process_chunk(self, chunk: np.ndarray) -> np.ndarray:
+        assert chunk.shape == (self.cfg.chunk,)
+        self.state, out = streaming_step(
+            self.ce, self.f0, self.dec, self.state,
+            jnp.asarray(chunk, jnp.float32), self.tgt,
+            self.cfg.f0_rate, self.cfg.pitch_shift, self.cfg.k, self.cfg.alpha,
+            self.cfg, self.dec_cfg,
+        )
+        return np.asarray(out)

@@ -1,0 +1,53 @@
+"""Linear interpolation with PyTorch ``F.interpolate(mode='linear')`` semantics.
+
+The reference leans on ``F.interpolate(..., mode='linear')`` (align_corners=False)
+in several parity-critical places: the oscillator's frame→sample upsampling
+(module/decoder.py:85-88), FiLM scale/shift upsampling (module/decoder.py:115-116),
+WavLM feature time-alignment (module/hubert.py:21) and WORLD F0 resampling
+(module/common.py:131,137).  PyTorch maps output index ``i`` to the source
+coordinate ``max(0, (i + 0.5) * (in/out) - 0.5)`` and linearly blends the two
+neighbouring samples (upper index clamped to ``in-1``).
+
+This implementation is a gather + fused multiply-add over the time axis —
+XLA-friendly, batch/channel agnostic, differentiable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _source_coords(in_size: int, out_size: int, dtype=jnp.float32):
+    scale = in_size / out_size
+    i = jnp.arange(out_size, dtype=dtype)
+    src = (i + 0.5) * scale - 0.5
+    src = jnp.maximum(src, 0.0)  # torch clamps negative source coords to 0
+    i0 = jnp.floor(src)
+    frac = src - i0
+    i0 = i0.astype(jnp.int32)
+    i0 = jnp.minimum(i0, in_size - 1)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    return i0, i1, frac
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def linear_interpolate(x: jax.Array, out_size: int, axis: int = -1) -> jax.Array:
+    """Resize ``x`` along ``axis`` to ``out_size`` samples.
+
+    Matches ``torch.nn.functional.interpolate(x, out_size, mode='linear')``
+    (align_corners=False) for any leading batch/channel dims.
+    """
+    axis = axis % x.ndim
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    i0, i1, frac = _source_coords(in_size, out_size, dtype=jnp.float32)
+    x0 = jnp.take(x, i0, axis=axis)
+    x1 = jnp.take(x, i1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    frac = frac.reshape(shape).astype(x.dtype)
+    return x0 + (x1 - x0) * frac
