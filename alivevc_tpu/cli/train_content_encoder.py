@@ -1,0 +1,81 @@
+"""ContentEncoder distillation CLI (reference: train_content_encoder.py).
+
+    python -m alivevc_tpu.cli.train_content_encoder DATASET_DIR \
+        [--teacher-features feats.npz]
+
+Teacher features come from a cached WavLM (io/teacher.py) or a precomputed
+``.npz`` (key 'features', [M, T, 768] aligned with the dataset's chunks).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from alivevc_tpu.cli.common import load_params_or_init, save_params
+from alivevc_tpu.compat.torch_import import import_content_encoder
+from alivevc_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from alivevc_tpu.io.dataset import WaveChunkDataset
+from alivevc_tpu.models.content_encoder import init_content_encoder
+from alivevc_tpu.train.distill import DistillState, distill_step, init_distill
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="train content encoder (distillation)")
+    p.add_argument("dataset")
+    p.add_argument("-mp", "--model-path", default="content_encoder.ckpt")
+    p.add_argument("-e", "--epoch", default=1000, type=int)
+    p.add_argument("-b", "--batch-size", default=16, type=int)
+    p.add_argument("-lr", "--learning-rate", default=1e-4, type=float)
+    p.add_argument("-len", "--length", default=65536, type=int)
+    p.add_argument("-m", "--max-data", default=-1, type=int)
+    p.add_argument("--teacher-features", default=None,
+                   help=".npz with precomputed WavLM features")
+    p.add_argument("--save-every", default=100, type=int)
+    return p
+
+
+def main(argv=None):
+    from alivevc_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()
+    args = build_parser().parse_args(argv)
+    ds = WaveChunkDataset([args.dataset], length=args.length, max_files=args.max_data)
+    print(f"Loaded {len(ds)} chunks")
+    if len(ds) == 0:
+        raise SystemExit("no audio chunks found — check the dataset path/length")
+
+    if args.teacher_features:
+        feats = np.load(args.teacher_features)["features"]
+        assert feats.shape[0] == len(ds), "teacher features must align with chunks"
+    else:
+        from alivevc_tpu.io.teacher import precompute_teacher_features
+
+        feats = precompute_teacher_features(ds.chunks)
+
+    state = init_distill(jax.random.PRNGKey(0), args.learning_rate)
+    import os
+
+    if os.path.exists(args.model_path):
+        state = load_checkpoint(args.model_path, state)
+        print(f"resumed at step {int(state.step)}")
+
+    rng = np.random.default_rng(0)
+    for epoch in range(args.epoch):
+        order = rng.permutation(len(ds))
+        for i in range(0, len(ds) - args.batch_size + 1, args.batch_size):
+            sel = order[i : i + args.batch_size]
+            state, m = distill_step(
+                state, ds.chunks[sel], feats[sel], args.learning_rate
+            )
+            print(f"epoch {epoch} step {int(state.step)} loss {float(m['loss']):.4f}")
+            if int(state.step) % args.save_every == 0:
+                save_checkpoint(args.model_path, state)
+    save_checkpoint(args.model_path, state)
+    print("Training Complete!")
+
+
+if __name__ == "__main__":
+    main()

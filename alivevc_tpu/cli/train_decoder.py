@@ -1,0 +1,97 @@
+"""GAN decoder training CLI (reference: train_decoder.py).
+
+Frozen ContentEncoder/F0Estimator checkpoints are required (torch ``.pt`` or
+our ``.npz``); decoder+discriminator resume-by-existence from the GAN state
+checkpoint, which — unlike the reference — also carries optimizer and step
+state.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from alivevc_tpu.cli.common import load_params_or_init
+from alivevc_tpu.compat.torch_import import (
+    import_content_encoder,
+    import_f0_estimator,
+)
+from alivevc_tpu.config import TrainConfig
+from alivevc_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from alivevc_tpu.io.dataset import WaveChunkDataset
+from alivevc_tpu.models.content_encoder import init_content_encoder
+from alivevc_tpu.models.f0_estimator import init_f0_estimator
+from alivevc_tpu.train.gan import gan_train_step, init_gan
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="train decoder (GAN)")
+    p.add_argument("dataset")
+    p.add_argument("-sp", "--state-path", default="gan_state.ckpt")
+    p.add_argument("-cep", "--content-encoder-path", default="content_encoder.ckpt")
+    p.add_argument("-f0ep", "--f0-estimator-path", default="f0_estimator.ckpt")
+    p.add_argument("-e", "--epoch", default=1000, type=int)
+    p.add_argument("-b", "--batch-size", default=1, type=int)
+    p.add_argument("-lr", "--learning-rate", default=1e-4, type=float)
+    p.add_argument("-len", "--length", default=38400, type=int)
+    p.add_argument("-m", "--max-data", default=-1, type=int)
+    p.add_argument("--feature-matching", default=2.0, type=float)
+    p.add_argument("--mel", default=45.0, type=float)
+    p.add_argument("--content", default=1.0, type=float)
+    p.add_argument("--save-every", default=300, type=int)
+    return p
+
+
+def main(argv=None):
+    from alivevc_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()
+    args = build_parser().parse_args(argv)
+    key = jax.random.PRNGKey(0)
+    ce = load_params_or_init(
+        args.content_encoder_path, init_content_encoder, import_content_encoder, key
+    )
+    pe = load_params_or_init(
+        args.f0_estimator_path, init_f0_estimator, import_f0_estimator, key
+    )
+    cfg = TrainConfig(
+        learning_rate=args.learning_rate,
+        mel_weight=args.mel,
+        feat_weight=args.feature_matching,
+        content_weight=args.content,
+    )
+
+    state = init_gan(jax.random.PRNGKey(1), cfg)
+    if os.path.exists(args.state_path):
+        state = load_checkpoint(args.state_path, state)
+        print(f"resumed at step {int(state.step)}")
+
+    ds = WaveChunkDataset([args.dataset], length=args.length, max_files=args.max_data)
+    print(f"Loaded {len(ds)} chunks")
+    if len(ds) == 0:
+        raise SystemExit("no audio chunks found — check the dataset path/length")
+
+    rng_np = np.random.default_rng(0)
+    rng = jax.random.PRNGKey(2)
+    for epoch in range(args.epoch):
+        order = rng_np.permutation(len(ds))
+        for i in range(0, len(ds) - args.batch_size + 1, args.batch_size):
+            sel = order[i : i + args.batch_size]
+            rng, sub = jax.random.split(rng)
+            state, m = gan_train_step(state, ce, pe, ds.chunks[sel], sub, cfg)
+            print(
+                f"Step {int(state.step)}, D: {float(m['loss_d']):.4f}, "
+                f"Adv.: {float(m['adv']):.4f}, Mel.: {float(m['mel']):.4f}, "
+                f"Feat.: {float(m['feat']):.4f}, Con.: {float(m['con']):.4f}"
+            )
+            if int(state.step) % args.save_every == 0:
+                save_checkpoint(args.state_path, state)
+    save_checkpoint(args.state_path, state)
+    print("Training Complete!")
+
+
+if __name__ == "__main__":
+    main()

@@ -224,7 +224,6 @@ def import_discriminator(
         ]
         mpd.append(
             {
-                "period": period,
                 "input_layer": _wn_conv2d(sd, f"{pre}.input_layer"),
                 "layers": [
                     _wn_conv2d(sd, f"{pre}.layers.{j}") for j in sorted(set(layer_idx))
@@ -238,7 +237,6 @@ def import_discriminator(
         pre = f"MRD.sub_discriminators.{i}"
         mrd.append(
             {
-                "n_fft": n_fft,
                 "layers": [_wn_conv2d(sd, f"{pre}.layers.{j}") for j in range(5)],
                 "conv_post": _wn_conv2d(sd, f"{pre}.conv_post"),
             }

@@ -1,0 +1,100 @@
+"""Wave-chunk datasets (reference: module/dataset.py:9-78).
+
+Recursively globs audio files, resamples to 16 kHz, splits into fixed-length
+chunks (dropping remainders), holds everything in host RAM, and serves
+shuffled fixed-shape batches — fixed shapes keep the jitted training step at
+one compilation.  The F0 variant precomputes WORLD labels per chunk at load
+time (ops/world.py), mirroring WaveFileDirectoryWithF0.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import warnings
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from alivevc_tpu.io.audio import read_wav
+
+
+def _resample_np(wave: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    if sr_in == sr_out:
+        return wave
+    import jax.numpy as jnp
+
+    from alivevc_tpu.ops.resample import resample
+
+    return np.asarray(resample(jnp.asarray(wave), sr_in, sr_out))
+
+
+class WaveChunkDataset:
+    """In-RAM chunked wave dataset.
+
+    chunks: [N, length] float32 at ``sampling_rate``; optional per-chunk F0
+    labels [N, length//320] when ``with_f0``.
+    """
+
+    def __init__(
+        self,
+        source_dirs: List[str],
+        length: int = 65_536,
+        max_files: int = -1,
+        sampling_rate: int = 16_000,
+        with_f0: bool = False,
+    ):
+        paths: List[str] = []
+        for d in source_dirs:
+            for fmt in ("wav", "mp3", "ogg", "flac"):
+                paths += glob.glob(os.path.join(d, f"**/*.{fmt}"), recursive=True)
+        paths.sort()
+        if max_files != -1:
+            paths = paths[:max_files]
+
+        chunks, f0s = [], []
+        for path in paths:
+            if not path.lower().endswith(".wav"):
+                warnings.warn(f"skipping non-WAV file (no decoder in image): {path}")
+                continue
+            wave, sr = read_wav(path)
+            wave = _resample_np(wave, sr, sampling_rate)
+            n = wave.shape[1] // length
+            for i in range(n):
+                w = wave[0, i * length : (i + 1) * length]
+                chunks.append(w.astype(np.float32))
+                if with_f0:
+                    from alivevc_tpu.ops.world import compute_f0
+
+                    f0s.append(compute_f0(w[None], sampling_rate)[0])
+        self.chunks = (
+            np.stack(chunks) if chunks else np.zeros((0, length), np.float32)
+        )
+        self.f0 = np.stack(f0s) if f0s else None
+        self.length = length
+
+    def __len__(self) -> int:
+        return self.chunks.shape[0]
+
+    def __getitem__(self, i: int):
+        if self.f0 is not None:
+            return self.chunks[i], self.f0[i]
+        return self.chunks[i]
+
+
+def batch_iterator(
+    ds: WaveChunkDataset,
+    batch_size: int,
+    seed: int = 0,
+    drop_last: bool = True,
+) -> Iterator:
+    """Shuffled fixed-shape batches; yields wave [B, L] (+ f0 [B, T])."""
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(ds))
+    end = len(ds) - (len(ds) % batch_size) if drop_last else len(ds)
+    for i in range(0, end, batch_size):
+        sel = idx[i : i + batch_size]
+        if ds.f0 is not None:
+            yield ds.chunks[sel], ds.f0[sel]
+        else:
+            yield ds.chunks[sel]

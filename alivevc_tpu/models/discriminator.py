@@ -87,9 +87,7 @@ def _get_padding(k: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def init_periodic_discriminator(
-    key, cfg: DiscriminatorConfig, period: int
-) -> Params:
+def init_periodic_discriminator(key, cfg: DiscriminatorConfig) -> Params:
     ch, ks, st, ns = (
         cfg.period_channels,
         cfg.period_kernel_size,
@@ -99,7 +97,6 @@ def init_periodic_discriminator(
     mc = cfg.period_max_channels
     keys = iter(jax.random.split(key, ns + 4))
     params = {
-        "period": period,
         "input_layer": init_wn_conv2d(next(keys), 1, ch, ks, 1),
         "layers": [],
     }
@@ -129,10 +126,10 @@ def _to_period_image(x: jax.Array, period: int) -> jax.Array:
 
 
 def periodic_discriminator(
-    p: Params, x: jax.Array, cfg: DiscriminatorConfig, want_feat: bool
+    p: Params, x: jax.Array, period: int, cfg: DiscriminatorConfig, want_feat: bool
 ):
     ks, st = cfg.period_kernel_size, cfg.period_stride
-    img = _to_period_image(x, p["period"])
+    img = _to_period_image(x, period)
     pad = _get_padding(ks)
     # torch int padding pads BOTH dims — the period axis is padded too
     h = wn_conv2d(p["input_layer"], img, stride=(st, 1), padding=(pad, pad))
@@ -165,7 +162,7 @@ _RES_LAYERS = [
 ]
 
 
-def init_resolution_discriminator(key, cfg: DiscriminatorConfig, n_fft: int) -> Params:
+def init_resolution_discriminator(key, cfg: DiscriminatorConfig) -> Params:
     ch = cfg.resolution_channels
     keys = iter(jax.random.split(key, len(_RES_LAYERS) + 2))
     layers = []
@@ -174,16 +171,14 @@ def init_resolution_discriminator(key, cfg: DiscriminatorConfig, n_fft: int) -> 
         layers.append(init_wn_conv2d(next(keys), cin, ch, kh, kw))
         cin = ch
     return {
-        "n_fft": n_fft,
         "layers": layers,
         "conv_post": init_wn_conv2d(next(keys), ch, 1, 3, 3),
     }
 
 
 def resolution_discriminator(
-    p: Params, x: jax.Array, cfg: DiscriminatorConfig, want_feat: bool
+    p: Params, x: jax.Array, n_fft: int, cfg: DiscriminatorConfig, want_feat: bool
 ):
-    n_fft = p["n_fft"]
     # torch.stft(x, n_fft, n_fft//4): rectangular window, center, no frame drop
     mag = stft_magnitude(x, n_fft, n_fft // 4, None, "rect", True, "reflect")
     h = jnp.transpose(mag, (0, 2, 1))[..., None]  # [N, bins, frames, 1]
@@ -204,10 +199,8 @@ def resolution_discriminator(
 def init_discriminator(key, cfg: DiscriminatorConfig = DiscriminatorConfig()) -> Params:
     keys = iter(jax.random.split(key, len(cfg.periods) + len(cfg.resolutions)))
     return {
-        "mpd": [init_periodic_discriminator(next(keys), cfg, pd) for pd in cfg.periods],
-        "mrd": [
-            init_resolution_discriminator(next(keys), cfg, n) for n in cfg.resolutions
-        ],
+        "mpd": [init_periodic_discriminator(next(keys), cfg) for _ in cfg.periods],
+        "mrd": [init_resolution_discriminator(next(keys), cfg) for _ in cfg.resolutions],
     }
 
 
@@ -215,18 +208,24 @@ def discriminator_logits(
     params: Params, x: jax.Array, cfg: DiscriminatorConfig = DiscriminatorConfig()
 ) -> List[jax.Array]:
     """wave [N, L] → list of 11 logit tensors (8 MPD + 3 MRD)."""
-    logits = [periodic_discriminator(p, x, cfg, False) for p in params["mpd"]]
-    logits += [resolution_discriminator(p, x, cfg, False) for p in params["mrd"]]
+    logits = [
+        periodic_discriminator(p, x, pd, cfg, False)
+        for p, pd in zip(params["mpd"], cfg.periods)
+    ]
+    logits += [
+        resolution_discriminator(p, x, n, cfg, False)
+        for p, n in zip(params["mrd"], cfg.resolutions)
+    ]
     return logits
 
 
 def _all_feats(params: Params, x: jax.Array, cfg: DiscriminatorConfig) -> List[jax.Array]:
     feats: List[jax.Array] = []
-    for p in params["mpd"]:
-        feats += periodic_discriminator(p, x, cfg, True)
-    for p in params["mrd"]:
+    for p, pd in zip(params["mpd"], cfg.periods):
+        feats += periodic_discriminator(p, x, pd, cfg, True)
+    for p, n in zip(params["mrd"], cfg.resolutions):
         # reference quirk: iterating the returned tensor over its batch dim
-        final = resolution_discriminator(p, x, cfg, True)
+        final = resolution_discriminator(p, x, n, cfg, True)
         feats += [final[i] for i in range(final.shape[0])]
     return feats
 

@@ -93,41 +93,46 @@ def topk_cosine_chunked(
     reference: jax.Array,
     k: int = 4,
     chunk: int = 8192,
+    valid=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming top-k over a large reference.
 
     source: [Ls, D], reference: [Lr, D].  The reference is scanned in
     ``chunk``-row tiles; only the running [Ls, k] top-k state is kept, so HBM
     footprint is independent of Lr.  Returns (values, global indices).
+
+    ``valid``: optional [Lr] bool mask — invalid rows can never be selected
+    (used by the sharded path to mask padding rows exactly).
     """
     ls, d = source.shape
     lr = reference.shape[0]
     sn = _l2_normalize(source)
 
     pad = (-lr) % chunk
+    if valid is None:
+        valid = jnp.ones((lr,), dtype=bool)
     if pad:
         reference = jnp.pad(reference, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
     n_chunks = reference.shape[0] // chunk
     ref_chunks = reference.reshape(n_chunks, chunk, d)
+    valid_chunks = valid.reshape(n_chunks, chunk)
 
     neg = jnp.full((ls, k), -jnp.inf, dtype=jnp.float32)
     idx0 = jnp.zeros((ls, k), dtype=jnp.int32)
 
     def body(carry, inp):
         best_v, best_i = carry
-        c, ref_c = inp
+        c, ref_c, valid_c = inp
         rn = _l2_normalize(ref_c)
         sims = (sn @ rn.T).astype(jnp.float32)  # [Ls, chunk]
-        if pad:
-            col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-            valid = col + c * chunk < lr
-            sims = jnp.where(valid, sims, -jnp.inf)
+        sims = jnp.where(valid_c[None, :], sims, -jnp.inf)
         v, i = jax.lax.top_k(sims, k)
         best_v, best_i = _merge_topk(best_v, best_i, v, i + c * chunk, k)
         return (best_v, best_i), None
 
     (vals, idx), _ = jax.lax.scan(
-        body, (neg, idx0), (jnp.arange(n_chunks), ref_chunks)
+        body, (neg, idx0), (jnp.arange(n_chunks), ref_chunks, valid_chunks)
     )
     return vals, idx
 

@@ -1,0 +1,85 @@
+"""Library-sharded kNN retrieval — the workload's real scale axis.
+
+The voice library (up to millions of 768-d frames at pod scale) is sharded
+over a mesh axis; each device computes a *local* top-k over its shard with the
+streaming chunked kernel, then the k candidate (similarity, vector) pairs per
+shard are all-gathered over ICI and merged — communication is O(Ls * P * k *
+(D+1)) floats, independent of library size.  Padding rows are excluded with an
+explicit validity mask, so the merged result equals the single-device match
+exactly (the local top-k of each shard is a superset of the global top-k's
+restriction to that shard; ties resolve by global frame index because shard id
+is the high-order part of the flattened candidate position).
+
+Reference semantics being distributed: module/common.py:96-109.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from alivevc_tpu.ops.knn import topk_cosine_chunked
+
+
+def pad_library_for_sharding(
+    library: jax.Array, num_shards: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Pad library rows to a multiple of ``num_shards``.
+
+    Returns (padded library, valid mask) — padding rows are masked out of the
+    search exactly.
+    """
+    lr = library.shape[0]
+    pad = (-lr) % num_shards
+    valid = jnp.arange(lr + pad) < lr
+    if pad:
+        library = jnp.concatenate(
+            [library, jnp.zeros((pad, library.shape[1]), library.dtype)]
+        )
+    return library, valid
+
+
+def sharded_match_features(
+    mesh: Mesh,
+    source: jax.Array,       # [Ls, D] replicated
+    library: jax.Array,      # [Lr_padded, D], sharded over axis 0
+    valid: jax.Array,        # [Lr_padded] bool, sharded over axis 0
+    k: int = 4,
+    alpha: float = 0.0,
+    axis_name: str = "library",
+    chunk: int = 4096,
+) -> jax.Array:
+    """match_features with the library sharded across ``axis_name``.
+
+    Output is replicated [Ls, D] and equals the dense single-device result on
+    the unpadded library.
+    """
+
+    def local_fn(src, lib_shard, valid_shard):
+        vals, idx = topk_cosine_chunked(
+            src, lib_shard, k=k, chunk=min(chunk, lib_shard.shape[0]),
+            valid=valid_shard,
+        )
+        vecs = lib_shard[idx]                          # [Ls, k, D]
+        all_vals = jax.lax.all_gather(vals, axis_name)  # [P, Ls, k]
+        all_vecs = jax.lax.all_gather(vecs, axis_name)  # [P, Ls, k, D]
+        p = all_vals.shape[0]
+        ls = src.shape[0]
+        flat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(ls, p * k)
+        flat_vecs = jnp.transpose(all_vecs, (1, 0, 2, 3)).reshape(ls, p * k, -1)
+        top_vals, top_pos = jax.lax.top_k(flat_vals, k)
+        gathered = jnp.take_along_axis(flat_vecs, top_pos[..., None], axis=1)
+        result = jnp.mean(gathered, axis=1)
+        return result * (1.0 - alpha) + src * alpha
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(source, library, valid)

@@ -1,0 +1,56 @@
+"""ContentEncoder distillation from a WavLM teacher.
+
+Reference: train_content_encoder.py:62-87 — L1 between the student's output
+and the teacher feature (mean of WavLM hidden states 4 and 9, linearly
+interpolated to wave_len//320 frames, module/hubert.py:15-22).
+
+TPU-native split: the frozen torch teacher runs host-side (or features are
+precomputed to disk by ``alivevc_tpu.io.teacher``); the student step is a
+single jitted program taking (wave, teacher_feature) batches.  Teacher
+features are the only host↔device traffic besides audio.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from alivevc_tpu.models.content_encoder import content_encoder, init_content_encoder
+from alivevc_tpu.ops.stft import spectrogram
+from alivevc_tpu.train.optim import radam
+
+
+class DistillState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def init_distill(key, learning_rate: float = 1e-4) -> DistillState:
+    params = init_content_encoder(key)
+    opt = radam(learning_rate)
+    return DistillState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("learning_rate",))
+def distill_step(
+    state: DistillState,
+    wave: jax.Array,            # [N, L] at 16 kHz
+    teacher_feature: jax.Array,  # [N, T, 768] aligned to L//320 frames
+    learning_rate: float = 1e-4,
+):
+    opt = radam(learning_rate)
+
+    def loss_fn(params):
+        spec = spectrogram(wave)
+        out = content_encoder(params, spec)
+        return jnp.mean(jnp.abs(out - teacher_feature))
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return DistillState(params, opt_state, state.step + 1), {"loss": loss}

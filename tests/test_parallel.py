@@ -1,0 +1,88 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: sharded-library kNN
+must equal the dense single-device match exactly; halo-exchange time sharding
+must equal the dense encoder."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from alivevc_tpu.models.content_encoder import content_encoder, init_content_encoder
+from alivevc_tpu.models.f0_estimator import f0_estimator, init_f0_estimator
+from alivevc_tpu.ops.knn import match_features
+from alivevc_tpu.parallel.halo import (
+    content_encoder_sharded,
+    f0_estimator_sharded,
+    sharded_frame_model,
+)
+from alivevc_tpu.parallel.mesh import make_mesh, replicate, shard_along
+from alivevc_tpu.parallel.sharded_knn import (
+    pad_library_for_sharding,
+    sharded_match_features,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "tests need 8 virtual CPU devices"
+    return make_mesh([("library", 8)])
+
+
+def test_sharded_knn_equals_dense(mesh8):
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.standard_normal((37, 768)).astype(np.float32))
+    lib = jnp.asarray(rng.standard_normal((1000, 768)).astype(np.float32))
+
+    dense = match_features(src[None], lib, 4, 0.0)[0]
+    lib_p, valid = pad_library_for_sharding(lib, 8)
+    sharded = sharded_match_features(mesh8, src, lib_p, valid, k=4, chunk=64)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(sharded), rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_knn_duplicate_winner(mesh8):
+    """Row duplicated across shards + padding rows must not perturb the mean."""
+    rng = np.random.default_rng(1)
+    src = jnp.asarray(rng.standard_normal((5, 768)).astype(np.float32))
+    base = rng.standard_normal((997, 768)).astype(np.float32)  # odd → padding
+    base[500] = base[0]  # duplicate in another shard
+    lib = jnp.asarray(base)
+    dense = match_features(src[None], lib, 4, 0.0)[0]
+    lib_p, valid = pad_library_for_sharding(lib, 8)
+    sharded = sharded_match_features(mesh8, src, lib_p, valid, k=4, chunk=32)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(sharded), rtol=1e-6, atol=1e-6)
+
+
+def test_halo_content_encoder_equals_dense():
+    mesh = make_mesh([("data", 8)])
+    params = init_content_encoder(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    spec = jnp.asarray(rng.standard_normal((160, 641)).astype(np.float32))
+
+    dense = content_encoder(params, spec[None])[0]
+    sharded = sharded_frame_model(
+        mesh, lambda x, ax: content_encoder_sharded(params, x, ax), spec, "data"
+    )
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(sharded), rtol=2e-5, atol=2e-5)
+
+
+def test_halo_f0_estimator_equals_dense():
+    mesh = make_mesh([("data", 8)])
+    params = init_f0_estimator(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(3)
+    spec = jnp.asarray(rng.standard_normal((80, 641)).astype(np.float32))
+    dense = f0_estimator(params, spec[None])[0]
+    sharded = sharded_frame_model(
+        mesh, lambda x, ax: f0_estimator_sharded(params, x, ax), spec, "data"
+    )
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(sharded), rtol=2e-5, atol=2e-5)
+
+
+def test_replicate_and_shard_helpers():
+    mesh = make_mesh([("data", 8)])
+    params = {"w": jnp.ones((4, 4))}
+    rep = replicate(params, mesh)
+    assert rep["w"].sharding.is_fully_replicated
+    x = jnp.zeros((16, 3))
+    xs = shard_along(x, mesh, "data", 0)
+    assert not xs.sharding.is_fully_replicated
