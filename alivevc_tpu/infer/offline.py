@@ -33,7 +33,7 @@ from alivevc_tpu.ops.resample import resample
 from alivevc_tpu.ops.stft import spectrogram
 
 
-@functools.partial(jax.jit, static_argnames=("k", "dec_cfg"))
+@functools.partial(jax.jit, static_argnames=("k", "dec_cfg", "impl"))
 def convert_window(
     ce_params,
     f0_params,
@@ -46,15 +46,33 @@ def convert_window(
     k: int = 4,
     alpha: float = 0.0,
     dec_cfg: DecoderConfig = DecoderConfig(),
+    impl: str = "xla",
 ) -> jax.Array:
-    """Convert a batch of 16 kHz windows; returns [N, Lw] converted audio."""
-    spec = spectrogram(window)
+    """Convert a batch of 16 kHz windows; returns [N, Lw] converted audio.
+
+    impl='pallas' routes the STFT front end, the library top-k, and the
+    oscillator source through the hand-written TPU kernels (kernels/).
+    """
+    if impl == "pallas":
+        from alivevc_tpu.kernels.stft_pallas import stft_magnitude_pallas
+
+        spec = stft_magnitude_pallas(window)[:, :-1, :]
+    else:
+        spec = spectrogram(window)
     f0 = f0_estimate(f0_params, spec)                       # [N, T, 1]
     # per-window intonation scaling about the voiced mean (inference.py:119-126)
     f0 = jax.vmap(lambda f: apply_intonation(f, intonation, pitch_shift))(f0)
     feat = content_encoder(ce_params, spec)
-    feat = match_features(feat, tgt, k=k, alpha=alpha)
-    wave, _ = decoder(dec_params, feat, f0 * f0_rate, cfg=dec_cfg)
+    if impl == "pallas":
+        from alivevc_tpu.kernels.knn_pallas import match_features_pallas_batched
+
+        feat = match_features_pallas_batched(feat, tgt, k=k, alpha=alpha)
+    else:
+        feat = match_features(feat, tgt, k=k, alpha=alpha)
+    wave, _ = decoder(
+        dec_params, feat, f0 * f0_rate, cfg=dec_cfg,
+        oscillator_impl="pallas" if impl == "pallas" else "xla",
+    )
     return wave
 
 
@@ -93,7 +111,9 @@ class OfflineConverter:
         cfg: InferenceConfig = InferenceConfig(),
         dec_cfg: DecoderConfig = DecoderConfig(),
         sample_rate: int = 16_000,
+        impl: str = "xla",
     ):
+        self.impl = impl
         self.ce = ce_params
         self.f0 = f0_params
         self.dec = dec_params
@@ -120,7 +140,7 @@ class OfflineConverter:
         out = convert_window(
             self.ce, self.f0, self.dec, jnp.asarray(windows), self.tgt,
             cfg.f0_rate, cfg.pitch_shift, cfg.intonation, cfg.k, cfg.alpha,
-            self.dec_cfg,
+            self.dec_cfg, self.impl,
         )
         out = np.asarray(out)[:, c:-c].reshape(-1)[:total]
         out = out * (10.0 ** (cfg.gain_db / 20.0))

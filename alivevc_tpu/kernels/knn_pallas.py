@@ -1,0 +1,177 @@
+"""Pallas TPU kernel: fused cosine top-k over a voice library.
+
+The dense jnp path (ops/knn.py) materializes the full [Ls, Lr] similarity
+matrix in HBM (≈180 MB per window at Lr=100k) and then runs lax.top_k over
+it.  This kernel streams the library through VMEM tile by tile, computes each
+[Ls, TILE] similarity block on the MXU, and maintains the running per-query
+top-k *inside* the kernel — HBM traffic is exactly one read of the library
+plus [Ls, k] outputs, independent of Lr.
+
+Top-k per tile is k=4 iterations of (masked max → index via masked min over
+global indices → mask out), which reproduces lax.top_k's smallest-index tie
+breaking exactly.  The k carried candidates ride in VMEM scratch across the
+sequential TPU grid.
+
+Reference semantics: module/common.py:96-109 (cosine similarity of
+L2-normalized frames, mean of top-k *unnormalized* library vectors).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -jnp.inf
+
+
+def _extract_topk(sims, gidx, k: int):
+    """k iterations of masked max/min extraction.  sims [Ls, C] fp32,
+    gidx [Ls, C] int32 (unique per row).  Returns ([Ls, k], [Ls, k])."""
+    vals, idxs = [], []
+    big = jnp.int32(2**30)
+    for _ in range(k):
+        m = jnp.max(sims, axis=1, keepdims=True)                      # [Ls, 1]
+        at_max = sims >= m
+        sel = jnp.min(jnp.where(at_max, gidx, big), axis=1, keepdims=True)
+        vals.append(m)
+        idxs.append(sel)
+        sims = jnp.where(gidx == sel, _NEG, sims)
+    return jnp.concatenate(vals, axis=1), jnp.concatenate(idxs, axis=1)
+
+
+def _knn_kernel(src_ref, lib_ref, out_v_ref, out_i_ref, vals_scr, idx_scr,
+                *, k: int, tile: int, lr: int, precision):
+    t = pl.program_id(1)          # library tile (minor grid dim)
+    nt = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        vals_scr[:] = jnp.full_like(vals_scr, _NEG)
+        idx_scr[:] = jnp.full_like(idx_scr, 2**30)
+
+    # both operands arrive L2-normalized (done once in XLA — cheaper than a
+    # per-tile sublane->lane norm transpose in here)
+    sims = jax.lax.dot_general(
+        src_ref[:], lib_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )                                                                  # [Ls, TILE]
+
+    base = t * tile
+    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+    gidx = col + base
+    sims = jnp.where(gidx < lr, sims, _NEG)
+
+    carried_v = vals_scr[:, :k]
+    carried_i = idx_scr[:, :k]
+    comb_v = jnp.concatenate([carried_v, sims], axis=1)
+    comb_i = jnp.concatenate([carried_i, gidx], axis=1)
+    new_v, new_i = _extract_topk(comb_v, comb_i, k)
+    vals_scr[:, :k] = new_v
+    idx_scr[:, :k] = new_i
+
+    @pl.when(t == nt - 1)
+    def _():
+        out_v_ref[:] = vals_scr[:, :k]
+        out_i_ref[:] = idx_scr[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "precision", "q_tile"))
+def knn_topk_pallas(
+    source: jax.Array,     # [Ls, D] (not necessarily normalized)
+    library: jax.Array,    # [Lr, D]
+    k: int = 4,
+    tile: int = 512,
+    precision: str = "highest",
+    q_tile: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming fused top-k.  Returns (values [Ls, k], indices [Ls, k]).
+
+    precision: 'highest' → fp32 MXU passes (exact near-tie ranking, parity
+    with the fp32 reference); 'default' → single-pass bf16 (faster, can flip
+    near-ties).
+    """
+    ls, d = source.shape
+    lr = library.shape[0]
+    tile = min(tile, max(512, 1 << (lr - 1).bit_length()))
+
+    def normalize(x):
+        x = x.astype(jnp.float32)
+        return x * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(x * x, axis=1, keepdims=True), 1e-30)
+        )
+
+    src = normalize(source)
+    library = normalize(library)
+
+    q_tile = min(q_tile, -(-ls // 8) * 8)
+    ls_pad = (-ls) % q_tile
+    if ls_pad:
+        src = jnp.pad(src, ((0, ls_pad), (0, 0)))
+    lr_pad = (-lr) % tile
+    if lr_pad:
+        library = jnp.pad(library, ((0, lr_pad), (0, 0)))
+    n_tiles = library.shape[0] // tile
+    lsp = src.shape[0]
+    n_qt = lsp // q_tile
+
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    kernel = functools.partial(_knn_kernel, k=k, tile=tile, lr=lr, precision=prec)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(n_qt, n_tiles),     # library tiles iterate fastest (carry resets per query tile)
+        in_specs=[
+            pl.BlockSpec((q_tile, d), lambda q, t: (q, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda q, t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, k), lambda q, t: (q, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, k), lambda q, t: (q, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((lsp, k), jnp.float32),
+            jax.ShapeDtypeStruct((lsp, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, 128), jnp.float32),
+            pltpu.VMEM((q_tile, 128), jnp.int32),
+        ],
+    )(src, library)
+    return vals[:ls], idx[:ls]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def match_features_pallas(
+    source: jax.Array,     # [Ls, D]
+    library: jax.Array,    # [Lr, D]
+    k: int = 4,
+    alpha: float = 0.0,
+    tile: int = 2048,
+) -> jax.Array:
+    """match_features (unbatched) with the fused Pallas top-k."""
+    _, idx = knn_topk_pallas(source, library, k=k, tile=tile)
+    gathered = jax.lax.stop_gradient(library)[idx]       # [Ls, k, D]
+    result = jnp.mean(gathered.astype(jnp.float32), axis=1)
+    return result * (1.0 - alpha) + source * alpha
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def match_features_pallas_batched(
+    source: jax.Array,     # [N, Ls, D]
+    library: jax.Array,    # [Lr, D]
+    k: int = 4,
+    alpha: float = 0.0,
+    tile: int = 2048,
+) -> jax.Array:
+    """Batched match: queries from all windows fused into one kernel launch."""
+    n, ls, d = source.shape
+    flat = source.reshape(n * ls, d)
+    out = match_features_pallas(flat, library, k=k, alpha=alpha, tile=tile)
+    return out.reshape(n, ls, d)

@@ -296,18 +296,34 @@ def decoder(
     phi=0.0,
     crop: Tuple[int, int] = (0, -1),
     cfg: DecoderConfig = DecoderConfig(),
+    oscillator_impl: str = "xla",
 ) -> Tuple[jax.Array, jax.Array]:
-    """content [N, Lf, 768], f0 [N, Lf, 1] → (wave [N, Lw], phi [N, Lw, Nh])."""
+    """content [N, Lf, 768], f0 [N, Lf, 1] → (wave [N, Lw], phi [N, Lw, Nh]).
+
+    oscillator_impl='pallas' uses the fused TPU source-synthesis kernel
+    (kernels/oscillator_pallas.py) — valid only for the offline path
+    (phi=0, crop=(0,-1)); phi_out is then returned as None.
+    """
     feats = feature_extractor(params["feature_extractor"], content, f0)
-    source, phi_out = harmonic_oscillator(
-        params["harmonic_oscillator"],
-        feats,
-        f0,
-        phi=phi,
-        crop=crop,
-        segment_size=cfg.segment_size,
-        sample_rate=cfg.sample_rate,
-        num_harmonics=cfg.num_harmonics,
-    )
+    if oscillator_impl == "pallas":
+        assert crop == (0, -1), "pallas oscillator serves the offline path only"
+        from alivevc_tpu.kernels.oscillator_pallas import harmonic_source_pallas
+
+        mul = jnp.arange(1, cfg.num_harmonics + 1, dtype=jnp.float32)
+        formants = f0.astype(jnp.float32) * mul
+        amps = jnp.exp(linear(params["harmonic_oscillator"]["to_amps"], feats))
+        source = harmonic_source_pallas(formants, amps, cfg.sample_rate)
+        phi_out = None
+    else:
+        source, phi_out = harmonic_oscillator(
+            params["harmonic_oscillator"],
+            feats,
+            f0,
+            phi=phi,
+            crop=crop,
+            segment_size=cfg.segment_size,
+            sample_rate=cfg.sample_rate,
+            num_harmonics=cfg.num_harmonics,
+        )
     out = filter_unet(params["filter"], source, feats, cfg)
     return out[..., 0], phi_out

@@ -51,18 +51,24 @@ def main():
     )
     x = jnp.asarray(waves)
 
-    def step(x):
-        return convert_window(ce, pe, dec, x, tgt)
+    def make_step(impl):
+        def step(x):
+            return convert_window(ce, pe, dec, x, tgt, impl=impl)
+        return step
 
-    # warmup / compile
-    out = step(x)
-    out.block_until_ready()
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = step(x)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    # NOTE: on the tunneled axon platform block_until_ready() returns at
+    # dispatch, not completion — force completion with a device-side reduce
+    # fetched to the host each step.
+    times = {}
+    for impl in ("xla", "pallas"):
+        step = make_step(impl)
+        float(jnp.sum(step(x)))  # warmup / compile
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            _ = float(jnp.sum(step(x)))
+        times[impl] = time.perf_counter() - t0
+        print(f"impl={impl} dt={times[impl]:.4f}s", file=sys.stderr)
+    dt = min(times.values())
 
     # each window contributes `chunk` kept samples (overlap-discard), but the
     # compute cost is the full window; report *kept* audio per second — the

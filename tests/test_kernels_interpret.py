@@ -1,0 +1,58 @@
+"""Pallas kernel logic tests in interpreter mode (no TPU needed).
+
+The same kernels are verified on real hardware by scripts/tpu_kernel_check.py
+(run on the chip); here the interpreter validates the math against the XLA
+reference implementations.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from alivevc_tpu.kernels.knn_pallas import knn_topk_pallas
+from alivevc_tpu.kernels.oscillator_pallas import harmonic_source_pallas
+from alivevc_tpu.kernels.stft_pallas import stft_magnitude_pallas
+from alivevc_tpu.models.decoder import harmonic_oscillator
+from alivevc_tpu.ops.knn import topk_cosine_chunked
+from alivevc_tpu.ops.stft import stft_magnitude
+
+
+def test_knn_kernel_interpret():
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.standard_normal((37, 768)).astype(np.float32))
+    lib = jnp.asarray(rng.standard_normal((1500, 768)).astype(np.float32))
+    want_v, want_i = topk_cosine_chunked(src, lib, 4)
+    with pltpu.force_tpu_interpret_mode():
+        got_v, got_i = knn_topk_pallas(src, lib, 4, tile=512)
+    np.testing.assert_array_equal(np.asarray(want_i), np.asarray(got_i))
+    np.testing.assert_allclose(np.asarray(want_v), np.asarray(got_v), rtol=1e-5, atol=1e-6)
+
+
+def test_stft_kernel_interpret():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 6400)).astype(np.float32))
+    want = stft_magnitude(x)
+    with pltpu.force_tpu_interpret_mode():
+        got = stft_magnitude_pallas(x)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=1e-4, atol=1e-3)
+
+
+def test_oscillator_kernel_interpret():
+    rng = np.random.default_rng(2)
+    lf = 20
+    feats = rng.standard_normal((1, lf, 512)).astype(np.float32)
+    f0 = (rng.random((1, lf, 1)) * 300 + 80).astype(np.float32)
+    w = jnp.asarray(rng.standard_normal((512, 64)).astype(np.float32)) * 0.05
+    params = {"to_amps": {"w": w, "b": jnp.zeros(64)}}
+    want, _ = harmonic_oscillator(params, jnp.asarray(feats), jnp.asarray(f0))
+    mul = jnp.arange(1, 65, dtype=jnp.float32)
+    formants = jnp.asarray(f0) * mul
+    amps = jnp.exp(jnp.asarray(feats) @ w)
+    with pltpu.force_tpu_interpret_mode():
+        got = harmonic_source_pallas(formants, amps)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=1e-3, atol=2e-2
+    )
