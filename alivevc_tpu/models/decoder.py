@@ -23,6 +23,7 @@ Parameter layouts:
 from __future__ import annotations
 
 import math
+import numpy as np
 from typing import Tuple
 
 import jax
@@ -167,7 +168,64 @@ def modulated_causal_conv1d(
     scale = linear_interpolate(scale, x.shape[1], axis=1)
     shift = linear_interpolate(shift, x.shape[1], axis=1)
     x = x * scale + shift
-    return causal_conv1d(p["conv"], x, dilation=dilation)
+    return causal_conv1d_packed(p["conv"], x, dilation=dilation)
+
+
+def _packed_matrices(w: jax.Array, p: int, dilation: int):
+    """Causal conv as lane-packed block matmuls.
+
+    A causal conv (kernel k, dilation d) over [N, L, C] with C < 128 wastes
+    most of the VPU/MXU lanes.  Packing P = 128//C consecutive timesteps into
+    the lane dim turns it into (n_prev+1) full-width [P*C, P*C] matmuls:
+
+        y_block = Σ_s  x_block_{-s} @ M_s
+
+    where M_s[(t_in*C+ci), (t_out*C+co)] = w[j, ci, co] for every tap j whose
+    input lands s blocks back.  Built with an einsum against a constant
+    one-hot selection tensor so it stays inside jit.
+    """
+    k, c, _ = w.shape
+    lookback = (k - 1) * dilation
+    n_prev = -(-lookback // p)
+    sels = np.zeros((n_prev + 1, k, p, p), np.float32)
+    for j in range(k):
+        off = (k - 1 - j) * dilation
+        for t_out in range(p):
+            t_in = t_out - off
+            s = 0
+            while t_in < 0:
+                t_in += p
+                s += 1
+            sels[s, j, t_in, t_out] = 1.0
+    mats = jnp.einsum("sjab,jio->saibo", jnp.asarray(sels), w)
+    return mats.reshape(n_prev + 1, p * c, p * c), n_prev
+
+
+def causal_conv1d_packed(p_: Params, x: jax.Array, dilation: int = 1) -> jax.Array:
+    """Lane-packed causal conv; exact same math as causal_conv1d for inputs
+    whose reflect padding lies entirely in the first block (L >= lookback+1,
+    always true for the filter's sample-rate levels)."""
+    n, length, c = x.shape
+    pk = 128 // c
+    if c >= 128 or 128 % c or length % pk:
+        return causal_conv1d(p_, x, dilation)
+    w = p_["w"]
+    k = w.shape[0]
+    pad = k * dilation - dilation
+    # left reflect pad, then trim to a whole number of blocks by padding zeros
+    left = x[:, 1 : pad + 1][:, ::-1]
+    xp = jnp.concatenate([left, x], axis=1)
+    extra = (-xp.shape[1]) % pk
+    xp = jnp.pad(xp, ((0, 0), (extra, 0), (0, 0)))
+    offset = pad + extra                      # output t is at padded index t+offset
+    mats, n_prev = _packed_matrices(w, pk, dilation)
+    xb = xp.reshape(n, xp.shape[1] // pk, pk * c)
+    y = xb @ mats[0]
+    for s in range(1, n_prev + 1):
+        shifted = jnp.pad(xb, ((0, 0), (s, 0), (0, 0)))[:, : xb.shape[1]]
+        y = y + shifted @ mats[s]
+    y = y.reshape(n, xp.shape[1], c)[:, offset : offset + length]
+    return y + p_["b"]
 
 
 def init_filter_res_block(key, channels, cond, k=5) -> Params:

@@ -197,8 +197,27 @@ def compute_f0_dio(
     segment_size: int = 256,
     f0_min: float = 20.0,
     f0_max: float = 4096.0,
+    use_native: bool = True,
 ) -> np.ndarray:
-    """wave [L] at 8 kHz → f0 [L//segment_size] (module/common.py:113-131)."""
+    """wave [L] at 8 kHz → f0 [L//segment_size] (module/common.py:113-131).
+
+    Uses the C++ implementation (native/world.cpp) when built; falls back to
+    the numpy reference implementation otherwise.
+    """
+    if use_native:
+        try:
+            from alivevc_tpu.native_bindings import (
+                dio_stonemask_native,
+                native_available,
+            )
+
+            if native_available():
+                f0 = dio_stonemask_native(
+                    wave_8k, sample_rate, f0_floor=f0_min, f0_ceil=f0_max
+                )
+                return _interp_linear_np(f0, wave_8k.shape[0] // segment_size)
+        except Exception:
+            pass
     f0, t = dio(wave_8k, sample_rate, f0_floor=f0_min, f0_ceil=f0_max)
     f0 = stonemask(wave_8k, f0, t, sample_rate)
     return _interp_linear_np(f0, wave_8k.shape[0] // segment_size)

@@ -1,0 +1,87 @@
+"""Native C++ components: WORLD F0 vs the numpy implementation; ring buffer."""
+
+import subprocess
+import os
+
+import numpy as np
+import pytest
+
+from alivevc_tpu.native_bindings import (
+    NativeRingBuffer,
+    dio_stonemask_native,
+    native_available,
+)
+from alivevc_tpu.ops.world import dio, stonemask
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_native():
+    if not native_available():
+        subprocess.run(["make", "-C", os.path.join(REPO, "native")], check=True)
+    assert native_available()
+
+
+def harmonic(f0_hz, fs, dur, seed=0):
+    t = np.arange(int(fs * dur)) / fs
+    rng = np.random.default_rng(seed)
+    x = sum((1.0 / k) * np.sin(2 * np.pi * k * f0_hz * t + rng.uniform(0, 2 * np.pi))
+            for k in range(1, 6))
+    return (x / np.abs(x).max()).astype(np.float64)
+
+
+@pytest.mark.parametrize("f0_true", [110.0, 220.0])
+def test_native_dio_matches_python(f0_true):
+    fs = 8000
+    x = harmonic(f0_true, fs, 1.0)
+    f0_py, t = dio(x, fs)
+    f0_py = stonemask(x, f0_py, t, fs)
+    f0_cpp = dio_stonemask_native(x, fs)
+    assert f0_cpp.shape[0] == f0_py.shape[0]
+    mid = slice(20, -20)
+    voiced_py = f0_py[mid] > 0
+    voiced_cpp = f0_cpp[mid] > 0
+    # voicing decisions nearly identical; voiced values within 2 Hz
+    assert (voiced_py == voiced_cpp).mean() > 0.95
+    both = voiced_py & voiced_cpp
+    assert np.abs(f0_py[mid][both] - f0_cpp[mid][both]).max() < 2.0
+    assert abs(np.median(f0_cpp[mid][voiced_cpp]) - f0_true) < 2.0
+
+
+def test_native_dio_speed():
+    import time
+
+    fs = 8000
+    x = harmonic(150.0, fs, 2.0)
+    t0 = time.perf_counter()
+    dio_stonemask_native(x, fs)
+    dt_cpp = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    f0, t = dio(x, fs)
+    stonemask(x, f0, t, fs)
+    dt_py = time.perf_counter() - t0
+    # sanity: native path must not be slower than numpy
+    assert dt_cpp < dt_py
+
+
+def test_ring_buffer_spsc():
+    rb = NativeRingBuffer(4096)
+    assert len(rb) == 0
+    assert rb.pop(10) is None
+    data = np.arange(1000, dtype=np.float32)
+    rb.push(data)
+    assert len(rb) == 1000
+    out = rb.pop(600)
+    np.testing.assert_array_equal(out, data[:600])
+    assert len(rb) == 400
+    rb.push(data)
+    out = rb.pop(1400)
+    np.testing.assert_array_equal(out, np.concatenate([data[600:], data]))
+    assert rb.overruns == 0
+
+
+def test_ring_buffer_overrun_counts():
+    rb = NativeRingBuffer(256)  # rounds to 256
+    rb.push(np.zeros(300, np.float32))
+    assert rb.overruns > 0

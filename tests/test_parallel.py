@@ -86,3 +86,28 @@ def test_replicate_and_shard_helpers():
     x = jnp.zeros((16, 3))
     xs = shard_along(x, mesh, "data", 0)
     assert not xs.sharding.is_fully_replicated
+
+
+def test_distributed_vc_equals_single_device():
+    """Config #5 skeleton: 2x4 ('data','library') mesh VC == dense pipeline."""
+    from alivevc_tpu.infer.offline import convert_window
+    from alivevc_tpu.models.content_encoder import init_content_encoder
+    from alivevc_tpu.models.decoder import init_decoder
+    from alivevc_tpu.models.f0_estimator import init_f0_estimator
+    from alivevc_tpu.parallel.distributed_vc import convert_windows_distributed
+
+    mesh = make_mesh([("data", 2), ("library", 4)])
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    ce = init_content_encoder(k1)
+    pe = init_f0_estimator(k2)
+    dec = init_decoder(k3)
+    lib = jax.random.normal(k4, (999, 768))
+
+    rng = np.random.default_rng(0)
+    windows = jnp.asarray(rng.standard_normal((2, 9600)).astype(np.float32) * 0.3)
+
+    dense = convert_window(ce, pe, dec, windows, lib)
+    dist = convert_windows_distributed(mesh, ce, pe, dec, windows, lib)
+    np.testing.assert_allclose(
+        np.asarray(dense), np.asarray(dist), rtol=1e-3, atol=2e-3
+    )
