@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("-m", "--max-data", default=-1, type=int)
     p.add_argument("--teacher-features", default=None,
                    help=".npz with precomputed WavLM features")
+    p.add_argument("--wavlm-checkpoint", default=None,
+                   help="torch WavLM state dict (.pt/.bin) — runs the JAX "
+                        "WavLM teacher on-device instead of host torch")
     p.add_argument("--save-every", default=100, type=int)
     return p
 
@@ -50,6 +53,16 @@ def main(argv=None):
     if args.teacher_features:
         feats = np.load(args.teacher_features)["features"]
         assert feats.shape[0] == len(ds), "teacher features must align with chunks"
+    elif args.wavlm_checkpoint:
+        from alivevc_tpu.compat.torch_import import load_torch_state_dict
+        from alivevc_tpu.models.wavlm import import_wavlm, wavlm_features
+
+        wl = import_wavlm(load_torch_state_dict(args.wavlm_checkpoint))
+        outs = []
+        for i in range(0, len(ds), 8):
+            batch = jax.numpy.asarray(ds.chunks[i : i + 8])
+            outs.append(np.asarray(wavlm_features(wl, batch)))
+        feats = np.concatenate(outs, axis=0)
     else:
         from alivevc_tpu.io.teacher import precompute_teacher_features
 

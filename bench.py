@@ -31,9 +31,9 @@ def main():
 
     chunk = 48_000           # 3 s, reference offline chunk (inference.py:35)
     window = 3 * chunk       # overlap-discard window
-    batch = 4                # windows per device step
+    batch = 8                # windows per device step
     library_frames = 100_000
-    steps = 4                # timed steps
+    steps = 8                # timed steps
 
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
     ce = init_content_encoder(k1)
@@ -57,15 +57,22 @@ def main():
         return step
 
     # NOTE: on the tunneled axon platform block_until_ready() returns at
-    # dispatch, not completion — force completion with a device-side reduce
-    # fetched to the host each step.
+    # dispatch, not completion — completion is forced by a device-side reduce
+    # fetched to the host.  Steps are chained through a tiny data dependence
+    # so the measurement is throughput of `steps` sequential conversions with
+    # a single final host fetch (per-step fetches would add ~30 ms tunnel
+    # latency each).
     times = {}
     for impl in ("xla", "pallas"):
         step = make_step(impl)
         float(jnp.sum(step(x)))  # warmup / compile
         t0 = time.perf_counter()
+        cur = x
+        out = None
         for _ in range(steps):
-            _ = float(jnp.sum(step(x)))
+            out = step(cur)
+            cur = x + out * 1e-30
+        _ = float(jnp.sum(out))
         times[impl] = time.perf_counter() - t0
         print(f"impl={impl} dt={times[impl]:.4f}s", file=sys.stderr)
     dt = min(times.values())
