@@ -50,6 +50,12 @@ def build_parser():
     p.add_argument("-c", "--chunk", default=48000, type=int)
     p.add_argument("-lib", "--voice-library-path", default="NONE")
     p.add_argument("-norm", "--normalize", action="store_true")
+    p.add_argument("-wpe", "--world-pitch-estimation", action="store_true",
+                   help="use the WORLD (DIO+StoneMask) pitch instead of the learned estimator")
+    p.add_argument("--save-spectrograms", action="store_true",
+                   help="dump input/output log-mel PNGs next to each converted file")
+    p.add_argument("--impl", default="xla", choices=["xla", "pallas"],
+                   help="compute path: XLA or the hand-written Pallas TPU kernels")
     return p
 
 
@@ -100,7 +106,10 @@ def main(argv=None):
         gain_db=args.gain,
         normalize=args.normalize,
     )
-    conv = OfflineConverter(ce, pe, dec, tgt, cfg)
+    conv = OfflineConverter(
+        ce, pe, dec, tgt, cfg,
+        impl=args.impl, world_pitch=args.world_pitch_estimation,
+    )
 
     os.makedirs(args.outputs, exist_ok=True)
     paths = sorted(glob.glob(os.path.join(args.inputs, "*")))
@@ -108,8 +117,23 @@ def main(argv=None):
         wave, sr = read_wav(path)
         print(f"converting {path}")
         out = conv.convert(wave, sr)
-        name = f"{i}_{os.path.splitext(os.path.basename(path))[0]}.wav"
-        write_wav(os.path.join(args.outputs, name), out, sr)
+        stem = f"{i}_{os.path.splitext(os.path.basename(path))[0]}"
+        write_wav(os.path.join(args.outputs, stem + ".wav"), out, sr)
+        if args.save_spectrograms:
+            # input/output log-mel PNGs (inference.py:154-155)
+            import jax.numpy as jnp
+
+            from alivevc_tpu.ops.stft import log_mel_spectrogram
+            from alivevc_tpu.utils.plotting import plot_spectrogram
+
+            mono_in = wave.mean(axis=0) if wave.ndim == 2 else wave
+            for tag, w in (("input", mono_in), ("output", out)):
+                mel = log_mel_spectrogram(jnp.asarray(w, jnp.float32)[None], sr)
+                plot_spectrogram(
+                    __import__("numpy").asarray(mel)[0],
+                    os.path.join(args.outputs, f"{stem}_{tag}_spec.png"),
+                    log=False,
+                )
     print("Complete!")
 
 

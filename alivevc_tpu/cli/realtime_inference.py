@@ -52,6 +52,7 @@ def build_parser():
     p.add_argument("-k", default=4, type=int)
     p.add_argument("-a", "--alpha", default=0.0, type=float)
     p.add_argument("-lib", "--voice-library-path", default="NONE")
+    p.add_argument("-wpe", "--world-pitch-estimation", action="store_true")
     return p
 
 
@@ -99,7 +100,9 @@ def _build(args):
         decimation=cfg.target_decimation,
     )
     print(f"Loaded {tgt.shape[0]} words.")
-    return StreamingConverter(ce, pe, dec, tgt, cfg)
+    return StreamingConverter(
+        ce, pe, dec, tgt, cfg, world_pitch=args.world_pitch_estimation
+    )
 
 
 def run_file_mode(args):

@@ -47,6 +47,7 @@ def convert_window(
     alpha: float = 0.0,
     dec_cfg: DecoderConfig = DecoderConfig(),
     impl: str = "xla",
+    f0_override=None,        # [N, T, 1] Hz — WORLD pitch (-wpe), bypasses the estimator
 ) -> jax.Array:
     """Convert a batch of 16 kHz windows; returns [N, Lw] converted audio.
 
@@ -59,7 +60,10 @@ def convert_window(
         spec = stft_magnitude_pallas(window)[:, :-1, :]
     else:
         spec = spectrogram(window)
-    f0 = f0_estimate(f0_params, spec)                       # [N, T, 1]
+    if f0_override is not None:
+        f0 = f0_override
+    else:
+        f0 = f0_estimate(f0_params, spec)                   # [N, T, 1]
     # per-window intonation scaling about the voiced mean (inference.py:119-126)
     f0 = jax.vmap(lambda f: apply_intonation(f, intonation, pitch_shift))(f0)
     feat = content_encoder(ce_params, spec)
@@ -112,7 +116,9 @@ class OfflineConverter:
         dec_cfg: DecoderConfig = DecoderConfig(),
         sample_rate: int = 16_000,
         impl: str = "xla",
+        world_pitch: bool = False,
     ):
+        self.world_pitch = world_pitch
         self.impl = impl
         self.ce = ce_params
         self.f0 = f0_params
@@ -137,10 +143,15 @@ class OfflineConverter:
         m = (padded.shape[0] - 3 * c) // c + 1
         windows = np.stack([padded[i * c : i * c + 3 * c] for i in range(m)])
 
+        f0_override = None
+        if self.world_pitch:
+            from alivevc_tpu.ops.world import compute_f0
+
+            f0_override = jnp.asarray(compute_f0(windows, self.sample_rate))[..., None]
         out = convert_window(
             self.ce, self.f0, self.dec, jnp.asarray(windows), self.tgt,
             cfg.f0_rate, cfg.pitch_shift, cfg.intonation, cfg.k, cfg.alpha,
-            self.dec_cfg, self.impl,
+            self.dec_cfg, self.impl, f0_override,
         )
         out = np.asarray(out)[:, c:-c].reshape(-1)[:total]
         out = out * (10.0 ** (cfg.gain_db / 20.0))

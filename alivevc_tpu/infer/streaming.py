@@ -61,6 +61,7 @@ def streaming_step(
     alpha: float = 0.0,
     cfg: StreamingConfig = StreamingConfig(),
     dec_cfg: DecoderConfig = DecoderConfig(),
+    f0_override=None,   # [1, T, 1] Hz — WORLD pitch (-wpe path)
 ) -> Tuple[StreamState, jax.Array]:
     """One 60 ms hop.  Returns (state', center chunk [chunk] of output)."""
     chunk = cfg.chunk
@@ -72,7 +73,10 @@ def streaming_step(
 
     spec = spectrogram(window)
     content = content_encoder(ce_params, spec)
-    f0 = f0_estimate(f0_params, spec) * f0_rate
+    if f0_override is not None:
+        f0 = f0_override * f0_rate
+    else:
+        f0 = f0_estimate(f0_params, spec) * f0_rate
     f0 = shift_pitch(f0, pitch_shift)
     content = match_features(content, tgt, k=k, alpha=alpha)
     wave, phi_out = decoder(
@@ -95,11 +99,13 @@ class StreamingConverter:
         tgt: jax.Array,
         cfg: StreamingConfig = StreamingConfig(),
         dec_cfg: DecoderConfig = DecoderConfig(),
+        world_pitch: bool = False,
     ):
         self.ce, self.f0, self.dec = ce_params, f0_params, dec_params
         self.tgt = tgt
         self.cfg = cfg
         self.dec_cfg = dec_cfg
+        self.world_pitch = world_pitch
         self.state = init_stream_state(cfg, dec_cfg)
 
     def reset(self):
@@ -107,10 +113,18 @@ class StreamingConverter:
 
     def process_chunk(self, chunk: np.ndarray) -> np.ndarray:
         assert chunk.shape == (self.cfg.chunk,)
+        f0_override = None
+        if self.world_pitch:
+            from alivevc_tpu.ops.world import compute_f0
+
+            window = np.concatenate(
+                [np.asarray(self.state.window)[0, self.cfg.chunk :], chunk]
+            )
+            f0_override = jnp.asarray(compute_f0(window[None], 16_000))[..., None]
         self.state, out = streaming_step(
             self.ce, self.f0, self.dec, self.state,
             jnp.asarray(chunk, jnp.float32), self.tgt,
             self.cfg.f0_rate, self.cfg.pitch_shift, self.cfg.k, self.cfg.alpha,
-            self.cfg, self.dec_cfg,
+            self.cfg, self.dec_cfg, f0_override,
         )
         return np.asarray(out)

@@ -52,3 +52,23 @@ def shard_along(x, mesh: Mesh, axis_name: str, array_axis: int = 0):
     spec = [None] * x.ndim
     spec[array_axis] = axis_name
     return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize the multi-host JAX runtime (DCN inter-host, ICI intra-slice).
+
+    On Cloud TPU pods the arguments are auto-detected from the environment;
+    pass them explicitly elsewhere.  Call before make_mesh on every host.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)

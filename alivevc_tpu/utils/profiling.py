@@ -42,3 +42,15 @@ def device_time(fn: Callable, *args, reps: int = 4, warmup: int = 1) -> float:
     for _ in range(reps):
         _force(fn(*args))
     return (time.perf_counter() - t0) / reps
+
+
+@contextlib.contextmanager
+def debug_nans(enable: bool = True):
+    """Trap NaNs at their producing op (the reference scrubs NaN/Inf ad hoc —
+    SURVEY §2.4.13; use this in tests to find the source instead)."""
+    prev = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", enable)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)

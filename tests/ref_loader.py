@@ -18,6 +18,11 @@ def _stub(name: str, **attrs):
     if name in sys.modules:
         return sys.modules[name]
     mod = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec(name) doesn't explode
+    # when third-party code (e.g. transformers) probes for the package
+    import importlib.machinery
+
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
