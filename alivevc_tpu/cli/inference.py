@@ -56,6 +56,9 @@ def build_parser():
                    help="dump input/output log-mel PNGs next to each converted file")
     p.add_argument("--impl", default="xla", choices=["xla", "pallas"],
                    help="compute path: XLA or the hand-written Pallas TPU kernels")
+    p.add_argument("-bf16", action="store_true",
+                   help="bfloat16 activations (the reference's -fp16 analogue; "
+                        "~1.25x faster, ~3%% waveform deviation)")
     return p
 
 
@@ -109,6 +112,7 @@ def main(argv=None):
     conv = OfflineConverter(
         ce, pe, dec, tgt, cfg,
         impl=args.impl, world_pitch=args.world_pitch_estimation,
+        dtype="bf16" if args.bf16 else "fp32",
     )
 
     os.makedirs(args.outputs, exist_ok=True)

@@ -33,7 +33,7 @@ from alivevc_tpu.ops.resample import resample
 from alivevc_tpu.ops.stft import spectrogram
 
 
-@functools.partial(jax.jit, static_argnames=("k", "dec_cfg", "impl"))
+@functools.partial(jax.jit, static_argnames=("k", "dec_cfg", "impl", "dtype"))
 def convert_window(
     ce_params,
     f0_params,
@@ -48,22 +48,33 @@ def convert_window(
     dec_cfg: DecoderConfig = DecoderConfig(),
     impl: str = "xla",
     f0_override=None,        # [N, T, 1] Hz — WORLD pitch (-wpe), bypasses the estimator
+    dtype: str = "fp32",     # 'bf16' halves HBM traffic of the conv/elementwise path
 ) -> jax.Array:
     """Convert a batch of 16 kHz windows; returns [N, Lw] converted audio.
 
     impl='pallas' routes the STFT front end, the library top-k, and the
     oscillator source through the hand-written TPU kernels (kernels/).
     """
+    if dtype == "bf16":
+        ce_params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            ce_params,
+        )
+        dec_params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            dec_params,
+        )
+        window = window.astype(jnp.bfloat16)
     if impl == "pallas":
         from alivevc_tpu.kernels.stft_pallas import stft_magnitude_pallas
 
-        spec = stft_magnitude_pallas(window)[:, :-1, :]
+        spec = stft_magnitude_pallas(window)[:, :-1, :].astype(window.dtype)
     else:
         spec = spectrogram(window)
     if f0_override is not None:
         f0 = f0_override
     else:
-        f0 = f0_estimate(f0_params, spec)                   # [N, T, 1]
+        f0 = f0_estimate(f0_params, spec.astype(jnp.float32))  # [N, T, 1]
     # per-window intonation scaling about the voiced mean (inference.py:119-126)
     f0 = jax.vmap(lambda f: apply_intonation(f, intonation, pitch_shift))(f0)
     feat = content_encoder(ce_params, spec)
@@ -73,11 +84,12 @@ def convert_window(
         feat = match_features_pallas_batched(feat, tgt, k=k, alpha=alpha)
     else:
         feat = match_features(feat, tgt, k=k, alpha=alpha)
+    feat = feat.astype(window.dtype)
     wave, _ = decoder(
         dec_params, feat, f0 * f0_rate, cfg=dec_cfg,
         oscillator_impl="pallas" if impl == "pallas" else "xla",
     )
-    return wave
+    return wave.astype(jnp.float32)
 
 
 def build_target_matrix(
@@ -117,9 +129,11 @@ class OfflineConverter:
         sample_rate: int = 16_000,
         impl: str = "xla",
         world_pitch: bool = False,
+        dtype: str = "fp32",
     ):
         self.world_pitch = world_pitch
         self.impl = impl
+        self.dtype = dtype
         self.ce = ce_params
         self.f0 = f0_params
         self.dec = dec_params
@@ -151,7 +165,7 @@ class OfflineConverter:
         out = convert_window(
             self.ce, self.f0, self.dec, jnp.asarray(windows), self.tgt,
             cfg.f0_rate, cfg.pitch_shift, cfg.intonation, cfg.k, cfg.alpha,
-            self.dec_cfg, self.impl, f0_override,
+            self.dec_cfg, self.impl, f0_override, self.dtype,
         )
         out = np.asarray(out)[:, c:-c].reshape(-1)[:total]
         out = out * (10.0 ** (cfg.gain_db / 20.0))

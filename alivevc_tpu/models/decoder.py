@@ -91,7 +91,9 @@ def init_feature_extractor(key, cfg: DecoderConfig) -> Params:
 def feature_extractor(p: Params, content: jax.Array, f0: jax.Array) -> jax.Array:
     """content [N, T, 768], f0 [N, T, 1] → features [N, T, 512]."""
     x = linear(p["input_layer"], content)
-    cond = f0_encoder(p["f0_enc"], f0)
+    # the sinusoidal F0 encoding needs fp32 (bf16 quantizes Hz to ~16 steps);
+    # the resulting condition embedding can ride at the activation dtype
+    cond = f0_encoder(p["f0_enc"], f0.astype(jnp.float32)).astype(x.dtype)
     for block in p["mid_layers"]:
         x = adaptive_convnext1d(block, x, cond)
     return x
@@ -197,7 +199,7 @@ def _packed_matrices(w: jax.Array, p: int, dilation: int):
                 t_in += p
                 s += 1
             sels[s, j, t_in, t_out] = 1.0
-    mats = jnp.einsum("sjab,jio->saibo", jnp.asarray(sels), w)
+    mats = jnp.einsum("sjab,jio->saibo", jnp.asarray(sels), w).astype(w.dtype)
     return mats.reshape(n_prev + 1, p * c, p * c), n_prev
 
 
@@ -220,7 +222,7 @@ def causal_conv1d_packed(p_: Params, x: jax.Array, dilation: int = 1) -> jax.Arr
     offset = pad + extra                      # output t is at padded index t+offset
     mats, n_prev = _packed_matrices(w, pk, dilation)
     xb = xp.reshape(n, xp.shape[1] // pk, pk * c)
-    y = xb @ mats[0]
+    y = (xb @ mats[0]).astype(x.dtype)
     for s in range(1, n_prev + 1):
         shifted = jnp.pad(xb, ((0, 0), (s, 0), (0, 0)))[:, : xb.shape[1]]
         y = y + shifted @ mats[s]
@@ -383,5 +385,5 @@ def decoder(
             sample_rate=cfg.sample_rate,
             num_harmonics=cfg.num_harmonics,
         )
-    out = filter_unet(params["filter"], source, feats, cfg)
+    out = filter_unet(params["filter"], source.astype(feats.dtype), feats, cfg)
     return out[..., 0], phi_out

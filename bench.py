@@ -51,9 +51,9 @@ def main():
     )
     x = jnp.asarray(waves)
 
-    def make_step(impl):
+    def make_step(impl, dtype):
         def step(x):
-            return convert_window(ce, pe, dec, x, tgt, impl=impl)
+            return convert_window(ce, pe, dec, x, tgt, impl=impl, dtype=dtype)
         return step
 
     # NOTE: on the tunneled axon platform block_until_ready() returns at
@@ -63,8 +63,8 @@ def main():
     # a single final host fetch (per-step fetches would add ~30 ms tunnel
     # latency each).
     times = {}
-    for impl in ("xla", "pallas"):
-        step = make_step(impl)
+    for impl, dtype in (("xla", "fp32"), ("pallas", "fp32"), ("pallas", "bf16")):
+        step = make_step(impl, dtype)
         float(jnp.sum(step(x)))  # warmup / compile
         t0 = time.perf_counter()
         cur = x
@@ -73,8 +73,8 @@ def main():
             out = step(cur)
             cur = x + out * 1e-30
         _ = float(jnp.sum(out))
-        times[impl] = time.perf_counter() - t0
-        print(f"impl={impl} dt={times[impl]:.4f}s", file=sys.stderr)
+        times[(impl, dtype)] = time.perf_counter() - t0
+        print(f"impl={impl}/{dtype} dt={times[(impl, dtype)]:.4f}s", file=sys.stderr)
     dt = min(times.values())
 
     # each window contributes `chunk` kept samples (overlap-discard), but the
