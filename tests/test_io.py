@@ -52,3 +52,37 @@ def test_dataset_resamples(tmp_path):
     write_wav(str(tmp_path / "x.wav"), wave, sr)
     ds = WaveChunkDataset([str(tmp_path)], length=16000)
     assert len(ds) == 1  # 1.5 s → one full 1 s chunk at 16 kHz
+
+
+def test_checkpoint_resume_determinism(tmp_path):
+    """Save mid-training, reload, continue — losses must match exactly (the
+    reference loses optimizer/step state on resume; we don't, SURVEY §5)."""
+    import jax
+
+    from alivevc_tpu.train.distill import distill_step, init_distill
+
+    wave = jnp.asarray(
+        np.sin(2 * np.pi * 220 * np.arange(6400) / 16000, dtype=np.float32)
+    )[None, :].repeat(2, axis=0)
+    teacher = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 20, 768)).astype(np.float32)
+    )
+
+    state = init_distill(jax.random.PRNGKey(0))
+    for _ in range(2):
+        state, _ = distill_step(state, wave, teacher)
+    path = str(tmp_path / "mid.npz")
+    save_checkpoint(path, state)
+
+    contA, lossesA = state, []
+    for _ in range(3):
+        contA, m = distill_step(contA, wave, teacher)
+        lossesA.append(float(m["loss"]))
+
+    contB = load_checkpoint(path, init_distill(jax.random.PRNGKey(9)))
+    lossesB = []
+    for _ in range(3):
+        contB, m = distill_step(contB, wave, teacher)
+        lossesB.append(float(m["loss"]))
+
+    assert lossesA == lossesB
