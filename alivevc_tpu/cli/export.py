@@ -46,6 +46,8 @@ def build_parser():
     p.add_argument("-lib", "--voice-library-path", default="voice_library.ckpt")
     p.add_argument("--length", default=256, type=int,
                    help="frame length for static-shape graphs")
+    p.add_argument("--torch-out", default=None,
+                   help="also export reference-format torch .pt state dicts here")
     return p
 
 
@@ -105,6 +107,25 @@ def main(argv=None):
     _export_one(os.path.join(out, "filter.stablehlo"),
                 lambda w, c: filter_unet(dec["filter"], w, c, cfg)[..., 0],
                 wave, feats)
+
+    if args.torch_out:
+        from alivevc_tpu.compat.torch_export import (
+            export_content_encoder,
+            export_decoder,
+            export_f0_estimator,
+            export_voice_library,
+            save_torch_state_dict,
+        )
+
+        os.makedirs(args.torch_out, exist_ok=True)
+        for name, sd in (
+            ("content_encoder.pt", export_content_encoder(ce)),
+            ("f0_estimator.pt", export_f0_estimator(pe)),
+            ("decoder.pt", export_decoder(dec)),
+            ("voice_library.pt", export_voice_library(vl)),
+        ):
+            save_torch_state_dict(os.path.join(args.torch_out, name), sd)
+            print(f"exported {os.path.join(args.torch_out, name)}")
     print("Export complete!")
 
 

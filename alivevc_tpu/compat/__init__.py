@@ -6,3 +6,10 @@ from alivevc_tpu.compat.torch_import import (
     import_discriminator,
     import_voice_library,
 )
+from alivevc_tpu.compat.torch_export import (
+    export_content_encoder,
+    export_f0_estimator,
+    export_decoder,
+    export_voice_library,
+    save_torch_state_dict,
+)
