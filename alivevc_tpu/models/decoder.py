@@ -206,9 +206,20 @@ def _packed_matrices(w: jax.Array, p: int, dilation: int):
 def causal_conv1d_packed(p_: Params, x: jax.Array, dilation: int = 1) -> jax.Array:
     """Lane-packed causal conv; exact same math as causal_conv1d for inputs
     whose reflect padding lies entirely in the first block (L >= lookback+1,
-    always true for the filter's sample-rate levels)."""
+    always true for the filter's sample-rate levels).
+
+    TPU-only: the packing targets the 128-lane VPU/MXU; on CPU it just bloats
+    compile time, so other backends take the plain conv (parity-tested on CPU
+    with ALIVEVC_FORCE_PACKED=1)."""
+    import os
+
     n, length, c = x.shape
     pk = 128 // c
+    if (
+        jax.default_backend() != "tpu"
+        and not os.environ.get("ALIVEVC_FORCE_PACKED")
+    ):
+        return causal_conv1d(p_, x, dilation)
     if c >= 128 or 128 % c or length % pk:
         return causal_conv1d(p_, x, dilation)
     w = p_["w"]

@@ -234,3 +234,10 @@ def test_discriminator_feat_loss_parity():
     params = import_discriminator(state_dict_numpy(m))
     got = float(discriminator_feat_loss(params, jnp.asarray(fake), jnp.asarray(real)))
     np.testing.assert_allclose(want, got, rtol=5e-3)
+
+
+def test_decoder_parity_with_packed_convs(monkeypatch):
+    """The TPU lane-packed causal-conv path must match the plain path
+    (it is gated off on CPU; force it here)."""
+    monkeypatch.setenv("ALIVEVC_FORCE_PACKED", "1")
+    test_decoder_full_parity()
