@@ -60,10 +60,15 @@ def _make_opts(cfg: TrainConfig):
     return opt_g, opt_d
 
 
-def init_gan(key, cfg: TrainConfig = TrainConfig()) -> GanState:
+def init_gan(
+    key,
+    cfg: TrainConfig = TrainConfig(),
+    dec_cfg: DecoderConfig = DecoderConfig(),
+    disc_cfg: DiscriminatorConfig = DiscriminatorConfig(),
+) -> GanState:
     k1, k2 = jax.random.split(key)
-    dec = init_decoder(k1)
-    disc = init_discriminator(k2)
+    dec = init_decoder(k1, dec_cfg)
+    disc = init_discriminator(k2, disc_cfg)
     opt_g, opt_d = _make_opts(cfg)
     return GanState(dec, disc, opt_g.init(dec), opt_d.init(disc), jnp.zeros((), jnp.int32))
 
