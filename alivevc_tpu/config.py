@@ -135,6 +135,11 @@ class InferenceConfig:
     alpha: float = 0.0
     gain_db: float = 0.0
     normalize: bool = False
+    # Max overlap-discard windows converted per jit call.  Bounds decoder
+    # intermediates to O(max_windows_per_step · 3·chunk) regardless of file
+    # length (the reference loop, inference.py:106-134, is sequential and
+    # therefore O(1) in windows; we batch for the MXU but cap the batch).
+    max_windows_per_step: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

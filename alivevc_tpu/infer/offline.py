@@ -161,13 +161,32 @@ class OfflineConverter:
         if self.world_pitch:
             from alivevc_tpu.ops.world import compute_f0
 
-            f0_override = jnp.asarray(compute_f0(windows, self.sample_rate))[..., None]
-        out = convert_window(
-            self.ce, self.f0, self.dec, jnp.asarray(windows), self.tgt,
-            cfg.f0_rate, cfg.pitch_shift, cfg.intonation, cfg.k, cfg.alpha,
-            self.dec_cfg, self.impl, f0_override, self.dtype,
-        )
-        out = np.asarray(out)[:, c:-c].reshape(-1)[:total]
+            f0_override = np.asarray(compute_f0(windows, self.sample_rate))[..., None]
+
+        # Convert in fixed-size window batches so device memory stays bounded
+        # on long files; the last batch is zero-padded to the same shape to
+        # avoid a tail-shape recompile.
+        bsz = max(1, cfg.max_windows_per_step)
+        outs = []
+        for i in range(0, m, bsz):
+            batch = windows[i : i + bsz]
+            f0_b = None if f0_override is None else f0_override[i : i + bsz]
+            n_real = batch.shape[0]
+            pad = bsz - n_real if m > bsz else 0
+            if pad:
+                batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:],
+                                                        batch.dtype)])
+                if f0_b is not None:
+                    f0_b = np.concatenate([f0_b, np.zeros((pad,) + f0_b.shape[1:],
+                                                          f0_b.dtype)])
+            got = convert_window(
+                self.ce, self.f0, self.dec, jnp.asarray(batch), self.tgt,
+                cfg.f0_rate, cfg.pitch_shift, cfg.intonation, cfg.k, cfg.alpha,
+                self.dec_cfg, self.impl,
+                None if f0_b is None else jnp.asarray(f0_b), self.dtype,
+            )
+            outs.append(np.asarray(got)[:n_real])
+        out = np.concatenate(outs)[:, c:-c].reshape(-1)[:total]
         out = out * (10.0 ** (cfg.gain_db / 20.0))
         if cfg.normalize and np.abs(out).max() > 0:
             out = out / np.abs(out).max()

@@ -103,6 +103,12 @@ class NativeRingBuffer:
             raise MemoryError("ring buffer allocation failed")
 
     def push(self, samples: np.ndarray) -> int:
+        """Push up to ``len(samples)``; returns the count actually stored.
+
+        On overflow the newest samples are dropped (the producer never
+        writes past ``tail + capacity``), so a concurrent ``pop`` can never
+        observe a torn read; dropped samples are tallied in ``overruns``.
+        """
         s = np.ascontiguousarray(samples, dtype=np.float32)
         return self._lib.alive_ring_push(
             self._h, s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(s)

@@ -61,20 +61,25 @@ int64_t alive_ring_size(void* p) {
          rb->tail.load(std::memory_order_acquire);
 }
 
-// Producer: push n samples.  On overflow the oldest samples are dropped
-// (head keeps advancing; real-time capture must never block).
+// Producer: push up to n samples; returns the count actually stored.  On
+// overflow the *newest* samples are dropped (never writes past
+// tail+capacity), so a consumer concurrently inside alive_ring_pop can
+// never have the region it is copying overwritten — the SPSC invariant a
+// real-time capture thread needs.  Overrun samples are counted; capture
+// must never block.
 int64_t alive_ring_push(void* p, const float* samples, int64_t n) {
   auto* rb = static_cast<RingBuffer*>(p);
   const int64_t head = rb->head.load(std::memory_order_relaxed);
   const int64_t tail = rb->tail.load(std::memory_order_acquire);
   const int64_t free_space = rb->capacity - (head - tail);
-  if (n > free_space) {
-    rb->overruns.fetch_add(n - free_space, std::memory_order_relaxed);
+  const int64_t to_write = n <= free_space ? n : free_space;
+  if (n > to_write) {
+    rb->overruns.fetch_add(n - to_write, std::memory_order_relaxed);
   }
   const int64_t mask = rb->capacity - 1;
-  for (int64_t i = 0; i < n; ++i) rb->data[(head + i) & mask] = samples[i];
-  rb->head.store(head + n, std::memory_order_release);
-  return n;
+  for (int64_t i = 0; i < to_write; ++i) rb->data[(head + i) & mask] = samples[i];
+  rb->head.store(head + to_write, std::memory_order_release);
+  return to_write;
 }
 
 // Consumer: pop exactly n samples into out.  Returns n on success, 0 if not

@@ -128,3 +128,32 @@ def test_offline_pipeline_waveform_parity():
     mel_diff = np.abs(mel_got - mel_want)
     assert mel_diff.mean() < 1e-2, f"mel mean diff {mel_diff.mean()}"
     assert np.quantile(mel_diff, 0.99) < 0.1, f"mel p99 {np.quantile(mel_diff, 0.99)}"
+
+
+def test_offline_window_batching_is_invisible():
+    """Bounded-memory window batching (max_windows_per_step) must produce
+    bit-identical output to converting every window in one jit call."""
+    import jax
+
+    from alivevc_tpu.models.content_encoder import init_content_encoder
+    from alivevc_tpu.models.decoder import init_decoder
+    from alivevc_tpu.models.f0_estimator import init_f0_estimator
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    ce = init_content_encoder(k1)
+    pe = init_f0_estimator(k2)
+    dec = init_decoder(k3)
+    sr = 16000
+    wave = np.sin(2 * np.pi * 220 * np.arange(int(1.5 * sr)) / sr).astype(np.float32)
+    tw = (0.5 * np.sin(2 * np.pi * 180 * np.arange(8000) / sr)).astype(np.float32)
+    tgt = build_target_matrix(ce, target_wave=tw)
+
+    chunk = 2400
+    one_shot = OfflineConverter(
+        ce, pe, dec, tgt, InferenceConfig(chunk=chunk, max_windows_per_step=1000)
+    ).convert_16k(wave)
+    batched = OfflineConverter(
+        ce, pe, dec, tgt, InferenceConfig(chunk=chunk, max_windows_per_step=4)
+    ).convert_16k(wave)
+    assert one_shot.shape == batched.shape == wave.shape
+    np.testing.assert_allclose(batched, one_shot, rtol=0, atol=1e-6)

@@ -81,7 +81,61 @@ def test_ring_buffer_spsc():
     assert rb.overruns == 0
 
 
-def test_ring_buffer_overrun_counts():
+def test_ring_buffer_overflow_drops_newest():
     rb = NativeRingBuffer(256)  # rounds to 256
-    rb.push(np.zeros(300, np.float32))
-    assert rb.overruns > 0
+    data = np.arange(300, dtype=np.float32)
+    stored = rb.push(data)
+    # push must report what was actually stored and never overwrite live data
+    assert stored == 256
+    assert rb.overruns == 44
+    assert len(rb) == 256
+    np.testing.assert_array_equal(rb.pop(256), data[:256])
+
+
+def test_ring_buffer_concurrent_stress():
+    """Producer/consumer threads hammer push/pop; the consumed stream must be
+    the exact produced sequence (no torn reads, no loss with retries)."""
+    import threading
+
+    total = 1_000_000
+    rb = NativeRingBuffer(1 << 12)
+    seq = np.arange(total, dtype=np.float32)
+    consumed = []
+    stop = threading.Event()
+
+    def producer():
+        rng = np.random.default_rng(1)
+        i = 0
+        while i < total:
+            n = int(rng.integers(1, 1500))
+            chunk = seq[i : i + n]
+            wrote = rb.push(chunk)
+            i += wrote  # drop-newest + retry ⇒ lossless stream
+        stop.set()
+
+    def consumer():
+        rng = np.random.default_rng(2)
+        got = 0
+        while got < total:
+            n = min(int(rng.integers(1, 1500)), total - got)
+            out = rb.pop(n)
+            if out is None:
+                if stop.is_set() and len(rb) < n:
+                    n = len(rb)
+                    if n == 0:
+                        continue
+                    out = rb.pop(n)
+                    if out is None:
+                        continue
+                else:
+                    continue
+            consumed.append(out)
+            got += len(out)
+
+    tp = threading.Thread(target=producer)
+    tc = threading.Thread(target=consumer)
+    tp.start(); tc.start()
+    tp.join(timeout=60); tc.join(timeout=60)
+    assert not tp.is_alive() and not tc.is_alive()
+    stream = np.concatenate(consumed)
+    np.testing.assert_array_equal(stream, seq)
