@@ -111,6 +111,20 @@ class StreamingConverter:
     def reset(self):
         self.state = init_stream_state(self.cfg, self.dec_cfg)
 
+    def prime(self, samples: np.ndarray) -> None:
+        """Fill the rolling analysis window without converting.
+
+        The reference loop produces no output until its ring holds
+        ``buffer_size`` chunks (realtime_inference.py:133-137); priming with
+        the first ``buffer_size`` chunks reproduces that warmup discipline
+        (and keeps phi untouched at zero, as the reference's is)."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        w = np.asarray(self.state.window)[0]
+        window = np.concatenate([w, samples])[-w.shape[0]:]
+        self.state = StreamState(
+            window=jnp.asarray(window)[None, :], phi=self.state.phi
+        )
+
     def process_chunk(self, chunk: np.ndarray) -> np.ndarray:
         assert chunk.shape == (self.cfg.chunk,)
         f0_override = None

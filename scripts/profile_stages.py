@@ -1,0 +1,187 @@
+"""Stage-prefix profiling of the offline VC program at bench shape.
+
+Times cumulative prefixes of the convert_window pipeline as separate jitted
+programs (chained-step method from bench.py: completion forced once per
+timed loop by a device-side reduce + host fetch, so the ~30 ms tunnel
+latency is paid once, not per step).  The difference between successive
+prefixes approximates each stage's cost *inside* a full program.
+
+Usage: python scripts/profile_stages.py [--impl pallas] [--dtype bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impl", default="pallas")
+    ap.add_argument("--dtype", default="bf16")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--chunk", type=int, default=48_000)
+    ap.add_argument("--library", type=int, default=100_000)
+    ap.add_argument("--steps", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from alivevc_tpu.config import DecoderConfig
+    from alivevc_tpu.models.content_encoder import content_encoder, init_content_encoder
+    from alivevc_tpu.models.decoder import (
+        decoder,
+        feature_extractor,
+        filter_unet,
+        init_decoder,
+    )
+    from alivevc_tpu.models.f0_estimator import f0_estimate, init_f0_estimator
+    from alivevc_tpu.nn.layers import linear
+    from alivevc_tpu.ops.knn import match_features
+    from alivevc_tpu.ops.pitch import apply_intonation
+    from alivevc_tpu.ops.stft import spectrogram
+
+    cfg = DecoderConfig()
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    ce = init_content_encoder(k1)
+    pe = init_f0_estimator(k2)
+    dec = init_decoder(k3)
+    tgt = jax.random.normal(k4, (args.library, 768), jnp.float32)
+
+    rng = np.random.default_rng(0)
+    window = 3 * args.chunk
+    t = np.arange(window) / 16000.0
+    x = jnp.asarray(
+        np.stack(
+            [
+                (0.4 * np.sin(2 * np.pi * rng.uniform(100, 300) * t)).astype(
+                    np.float32
+                )
+                for _ in range(args.batch)
+            ]
+        )
+    )
+
+    use_bf16 = args.dtype == "bf16"
+    use_pallas = args.impl == "pallas"
+    act = jnp.bfloat16 if use_bf16 else jnp.float32
+    ce_c = jax.tree_util.tree_map(lambda a: a.astype(act), ce) if use_bf16 else ce
+    dec_c = jax.tree_util.tree_map(lambda a: a.astype(act), dec) if use_bf16 else dec
+
+    def spec_of(w):
+        w = w.astype(act)
+        if use_pallas:
+            from alivevc_tpu.kernels.stft_pallas import stft_magnitude_pallas
+
+            return stft_magnitude_pallas(w)[:, :-1, :].astype(act)
+        return spectrogram(w)
+
+    def knn_of(feat):
+        if use_pallas:
+            from alivevc_tpu.kernels.knn_pallas import match_features_pallas_batched
+
+            return match_features_pallas_batched(feat, tgt, k=4, alpha=0.0)
+        return match_features(feat, tgt, k=4, alpha=0.0)
+
+    def f0_of(spec):
+        f0 = f0_estimate(pe, spec.astype(jnp.float32))
+        return jax.vmap(lambda f: apply_intonation(f, 1.0, 0.0))(f0)
+
+    def source_of(feats, f0):
+        if use_pallas:
+            from alivevc_tpu.kernels.oscillator_pallas import harmonic_source_pallas
+
+            mul = jnp.arange(1, cfg.num_harmonics + 1, dtype=jnp.float32)
+            amps = jnp.exp(linear(dec_c["harmonic_oscillator"]["to_amps"], feats))
+            return harmonic_source_pallas(f0.astype(jnp.float32) * mul, amps,
+                                          cfg.sample_rate)
+        from alivevc_tpu.models.decoder import harmonic_oscillator
+
+        src, _ = harmonic_oscillator(dec_c["harmonic_oscillator"], feats, f0)
+        return src
+
+    # cumulative prefixes; each returns something reduce-able
+    def p_spec(w):
+        return spec_of(w)
+
+    def p_f0(w):
+        return f0_of(spec_of(w))
+
+    def p_ce(w):
+        s = spec_of(w)
+        return f0_of(s), content_encoder(ce_c, s)
+
+    def p_knn(w):
+        s = spec_of(w)
+        return f0_of(s), knn_of(content_encoder(ce_c, s))
+
+    def p_fe(w):
+        s = spec_of(w)
+        f0 = f0_of(s)
+        feat = knn_of(content_encoder(ce_c, s)).astype(act)
+        return f0, feature_extractor(dec_c["feature_extractor"], feat, f0)
+
+    def p_osc(w):
+        s = spec_of(w)
+        f0 = f0_of(s)
+        feat = knn_of(content_encoder(ce_c, s)).astype(act)
+        feats = feature_extractor(dec_c["feature_extractor"], feat, f0)
+        return source_of(feats, f0)
+
+    def p_full(w):
+        s = spec_of(w)
+        f0 = f0_of(s)
+        feat = knn_of(content_encoder(ce_c, s)).astype(act)
+        feats = feature_extractor(dec_c["feature_extractor"], feat, f0)
+        src = source_of(feats, f0)
+        return filter_unet(dec_c["filter"], src.astype(feats.dtype), feats, cfg)[..., 0]
+
+    stages = [
+        ("spec", p_spec),
+        ("f0", p_f0),
+        ("+ce", p_ce),
+        ("+knn", p_knn),
+        ("+fe", p_fe),
+        ("+osc", p_osc),
+        ("+filter", p_full),
+    ]
+
+    def timed(fn):
+        jfn = jax.jit(fn)
+
+        def force(y):
+            leaves = jax.tree_util.tree_leaves(y)
+            return sum(float(jnp.sum(l.astype(jnp.float32))) for l in leaves)
+
+        force(jfn(x))  # compile
+        t0 = time.perf_counter()
+        cur = x
+        out = None
+        for _ in range(args.steps):
+            out = jfn(cur)
+            first = jax.tree_util.tree_leaves(out)[0]
+            bias = (jnp.sum(first.astype(jnp.float32)) * 1e-30).astype(x.dtype)
+            cur = x + bias
+        force(out)
+        return (time.perf_counter() - t0) / args.steps
+
+    prev = 0.0
+    audio_s = args.batch * args.chunk / 16000.0
+    for name, fn in stages:
+        dt = timed(fn)
+        print(
+            f"{name:8s} cum={dt * 1e3:8.2f} ms  delta={(dt - prev) * 1e3:8.2f} ms"
+        )
+        prev = dt
+    print(f"kept audio per step: {audio_s:.1f} s -> {audio_s / prev:.1f} audio-s/s")
+
+
+if __name__ == "__main__":
+    main()
