@@ -83,7 +83,7 @@ def main():
             return stft_magnitude_pallas(w)[:, :-1, :].astype(act)
         return spectrogram(w)
 
-    def knn_of(feat):
+    def knn_of(feat, tgt):
         if use_pallas:
             from alivevc_tpu.kernels.knn_pallas import match_features_pallas_batched
 
@@ -107,38 +107,39 @@ def main():
         src, _ = harmonic_oscillator(dec_c["harmonic_oscillator"], feats, f0)
         return src
 
-    # cumulative prefixes; each returns something reduce-able
-    def p_spec(w):
+    # cumulative prefixes; each returns something reduce-able.  NB: tgt is a
+    # jit *argument* — closing over the 300 MB library 413s the remote relay.
+    def p_spec(w, tgt):
         return spec_of(w)
 
-    def p_f0(w):
+    def p_f0(w, tgt):
         return f0_of(spec_of(w))
 
-    def p_ce(w):
+    def p_ce(w, tgt):
         s = spec_of(w)
         return f0_of(s), content_encoder(ce_c, s)
 
-    def p_knn(w):
+    def p_knn(w, tgt):
         s = spec_of(w)
-        return f0_of(s), knn_of(content_encoder(ce_c, s))
+        return f0_of(s), knn_of(content_encoder(ce_c, s), tgt)
 
-    def p_fe(w):
+    def p_fe(w, tgt):
         s = spec_of(w)
         f0 = f0_of(s)
-        feat = knn_of(content_encoder(ce_c, s)).astype(act)
+        feat = knn_of(content_encoder(ce_c, s), tgt).astype(act)
         return f0, feature_extractor(dec_c["feature_extractor"], feat, f0)
 
-    def p_osc(w):
+    def p_osc(w, tgt):
         s = spec_of(w)
         f0 = f0_of(s)
-        feat = knn_of(content_encoder(ce_c, s)).astype(act)
+        feat = knn_of(content_encoder(ce_c, s), tgt).astype(act)
         feats = feature_extractor(dec_c["feature_extractor"], feat, f0)
         return source_of(feats, f0)
 
-    def p_full(w):
+    def p_full(w, tgt):
         s = spec_of(w)
         f0 = f0_of(s)
-        feat = knn_of(content_encoder(ce_c, s)).astype(act)
+        feat = knn_of(content_encoder(ce_c, s), tgt).astype(act)
         feats = feature_extractor(dec_c["feature_extractor"], feat, f0)
         src = source_of(feats, f0)
         return filter_unet(dec_c["filter"], src.astype(feats.dtype), feats, cfg)[..., 0]
@@ -160,12 +161,12 @@ def main():
             leaves = jax.tree_util.tree_leaves(y)
             return sum(float(jnp.sum(l.astype(jnp.float32))) for l in leaves)
 
-        force(jfn(x))  # compile
+        force(jfn(x, tgt))  # compile
         t0 = time.perf_counter()
         cur = x
         out = None
         for _ in range(args.steps):
-            out = jfn(cur)
+            out = jfn(cur, tgt)
             first = jax.tree_util.tree_leaves(out)[0]
             bias = (jnp.sum(first.astype(jnp.float32)) * 1e-30).astype(x.dtype)
             cur = x + bias
