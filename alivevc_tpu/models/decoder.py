@@ -215,6 +215,8 @@ def causal_conv1d_packed(p_: Params, x: jax.Array, dilation: int = 1) -> jax.Arr
 
     n, length, c = x.shape
     pk = 128 // c
+    if os.environ.get("ALIVEVC_FORCE_PLAIN"):
+        return causal_conv1d(p_, x, dilation)
     if (
         jax.default_backend() != "tpu"
         and not os.environ.get("ALIVEVC_FORCE_PACKED")
@@ -360,6 +362,24 @@ def init_decoder(key, cfg: DecoderConfig = DecoderConfig()) -> Params:
     }
 
 
+def select_filter_impl(cfg: DecoderConfig, lw: int) -> str:
+    """'packed' (lane-dense, models/filter_packed.py) on TPU when the config
+    maps onto the packed layout, else 'plain'.  ALIVEVC_FILTER_IMPL overrides
+    ('packed'|'plain')."""
+    import os
+
+    from alivevc_tpu.models.filter_packed import packed_supported
+
+    forced = os.environ.get("ALIVEVC_FILTER_IMPL")
+    if forced in ("packed", "plain"):
+        if forced == "packed" and not packed_supported(cfg, lw):
+            return "plain"
+        return forced
+    if jax.default_backend() == "tpu" and packed_supported(cfg, lw):
+        return "packed"
+    return "plain"
+
+
 def decoder(
     params: Params,
     content: jax.Array,
@@ -368,12 +388,15 @@ def decoder(
     crop: Tuple[int, int] = (0, -1),
     cfg: DecoderConfig = DecoderConfig(),
     oscillator_impl: str = "xla",
+    filter_impl: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """content [N, Lf, 768], f0 [N, Lf, 1] → (wave [N, Lw], phi [N, Lw, Nh]).
 
     oscillator_impl='pallas' uses the fused TPU source-synthesis kernel
     (kernels/oscillator_pallas.py) — valid only for the offline path
     (phi=0, crop=(0,-1)); phi_out is then returned as None.
+    filter_impl: 'auto' (lane-dense packed U-Net on TPU, plain elsewhere),
+    'packed', or 'plain'.
     """
     feats = feature_extractor(params["feature_extractor"], content, f0)
     if oscillator_impl == "pallas":
@@ -396,5 +419,15 @@ def decoder(
             sample_rate=cfg.sample_rate,
             num_harmonics=cfg.num_harmonics,
         )
-    out = filter_unet(params["filter"], source.astype(feats.dtype), feats, cfg)
+    lw = feats.shape[1] * cfg.segment_size
+    if filter_impl == "auto":
+        filter_impl = select_filter_impl(cfg, lw)
+    if filter_impl == "packed":
+        from alivevc_tpu.models.filter_packed import filter_unet_packed
+
+        out = filter_unet_packed(
+            params["filter"], source.astype(feats.dtype), feats, cfg
+        )
+    else:
+        out = filter_unet(params["filter"], source.astype(feats.dtype), feats, cfg)
     return out[..., 0], phi_out
