@@ -40,7 +40,16 @@ def build_parser():
     p.add_argument("--output-wav", default=None)
     p.add_argument("-i", "--input", default=0, type=int)
     p.add_argument("-o", "--output", default=0, type=int)
+    p.add_argument("-l", "--loopback", default=-1, type=int,
+                   help="optional second output device index (-1 = off)")
     p.add_argument("-g", "--gain", default=0.0, type=float)
+    p.add_argument("-ig", "--input-gain", default=0.0, type=float)
+    p.add_argument("-ic", "--inputchannels", default=1, type=int)
+    p.add_argument("-oc", "--outputchannels", default=1, type=int)
+    p.add_argument("-lc", "--loopbackchannels", default=1, type=int)
+    p.add_argument("-isr", "--input-sr", default=16000, type=int)
+    p.add_argument("-osr", "--output-sr", default=16000, type=int)
+    p.add_argument("-lsr", "--loopback-sr", default=16000, type=int)
     p.add_argument("-dep", "--decoder-path", default="decoder.ckpt")
     p.add_argument("-cep", "--content-encoder-path", default="content_encoder.ckpt")
     p.add_argument("-f0ep", "--f0-estimator-path", default="f0_estimator.ckpt")
@@ -112,7 +121,7 @@ def run_file_mode(args):
         import jax.numpy as jnp
 
         wave = np.asarray(resample(jnp.asarray(wave), sr, 16000))
-    wave = wave[0]
+    wave = wave[0] * (10.0 ** (args.input_gain / 20.0))
     c = args.chunk
     n = wave.shape[0] // c
     outs = []
@@ -131,22 +140,46 @@ def run_live_mode(args):
             "PyAudio is not installed in this image; use --input-wav/--output-wav "
             "for file-driven streaming."
         )
+    import jax.numpy as jnp
+
+    # device reads happen at input_sr; the pipeline hop is in the 16 kHz domain
+    read_chunk = args.chunk
+    args.chunk = int(round(args.chunk * 16000 / args.input_sr))
     conv = _build(args)
     audio = pyaudio.PyAudio()
     stream_in = audio.open(
-        format=pyaudio.paInt16, rate=16000, channels=1,
+        format=pyaudio.paInt16, rate=args.input_sr, channels=args.inputchannels,
         input_device_index=args.input, input=True,
     )
     stream_out = audio.open(
-        format=pyaudio.paInt16, rate=16000, channels=1,
+        format=pyaudio.paInt16, rate=args.output_sr, channels=args.outputchannels,
         output_device_index=args.output, output=True,
     )
+    # optional loopback output (reference: realtime_inference.py:40-46,114-116)
+    stream_loop = (
+        audio.open(
+            format=pyaudio.paInt16, rate=args.loopback_sr,
+            channels=args.loopbackchannels,
+            output_device_index=args.loopback, output=True,
+        )
+        if args.loopback != -1
+        else None
+    )
+    in_gain = 10.0 ** (args.input_gain / 20.0)
+    out_gain = 10.0 ** (args.gain / 20.0)
     print("converting voice...")
     while True:
-        data = np.frombuffer(stream_in.read(args.chunk), np.int16)
-        out = conv.process_chunk(data.astype(np.float32) / 32768.0)
-        out = out * (10.0 ** (args.gain / 20.0))
-        stream_out.write((np.clip(out, -1, 1) * 32767).astype(np.int16).tobytes())
+        data = np.frombuffer(stream_in.read(read_chunk), np.int16)
+        x = data.astype(np.float32) / 32768.0
+        if args.input_sr != 16000:
+            x = np.asarray(resample(jnp.asarray(x[None]), args.input_sr, 16000))[0]
+        out = conv.process_chunk(x * in_gain) * out_gain
+        if args.output_sr != 16000:
+            out = np.asarray(resample(jnp.asarray(out[None]), 16000, args.output_sr))[0]
+        payload = (np.clip(out, -1, 1) * 32767).astype(np.int16).tobytes()
+        stream_out.write(payload)
+        if stream_loop is not None:
+            stream_loop.write(payload)
 
 
 def main(argv=None):

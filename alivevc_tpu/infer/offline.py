@@ -82,6 +82,15 @@ def convert_window(
         from alivevc_tpu.kernels.knn_pallas import match_features_pallas_batched
 
         feat = match_features_pallas_batched(feat, tgt, k=k, alpha=alpha)
+    elif tgt.shape[0] > 16_384:
+        # large library: stream the reference in chunks instead of
+        # materializing the [N, Ls, Lr] similarity matrix
+        from alivevc_tpu.ops.knn import match_features_chunked
+
+        nb, ls, dd = feat.shape
+        feat = match_features_chunked(
+            feat.reshape(nb * ls, dd), tgt, k=k, alpha=alpha
+        ).reshape(nb, ls, dd)
     else:
         feat = match_features(feat, tgt, k=k, alpha=alpha)
     feat = feat.astype(window.dtype)

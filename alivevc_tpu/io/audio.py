@@ -2,14 +2,19 @@
 
 WAV via scipy.io.wavfile (PCM 16/24/32 and float); always returns float32 in
 [-1, 1], shape [channels, length] like the reference's torchaudio.load
-convention (module/dataset.py:25).  mp3/ogg are not decodable in this image —
-they are skipped with a warning by the dataset loader.
+convention (module/dataset.py:25).  mp3/ogg/flac decode through an ``ffmpeg``
+binary when one is on PATH (any production host; module/dataset.py:22-27
+reads them via torchaudio/sox) — this image has no decoder, so the dataset
+loader skips those files with a warning.
 """
 
 from __future__ import annotations
 
+import shutil
+import subprocess
+import tempfile
 import warnings
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 from scipy.io import wavfile
@@ -52,3 +57,31 @@ def write_wav(path: str, wave: np.ndarray, sample_rate: int) -> None:
 def gain_db(wave: np.ndarray, db: float) -> np.ndarray:
     """torchaudio.functional.gain semantics (inference.py:136)."""
     return wave * (10.0 ** (db / 20.0))
+
+
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def read_audio(path: str) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode any audio file → (wave [C, L] float32, sr), or None.
+
+    WAV decodes natively; mp3/ogg/flac/m4a shell out to ``ffmpeg`` when it is
+    installed (decoded to a temporary float32 WAV).  Returns None with a
+    warning when no decoder is available for the format.
+    """
+    if path.lower().endswith(".wav"):
+        return read_wav(path)
+    if not ffmpeg_available():
+        warnings.warn(f"skipping {path}: no ffmpeg on PATH to decode this format")
+        return None
+    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+        proc = subprocess.run(
+            ["ffmpeg", "-y", "-v", "error", "-i", path,
+             "-f", "wav", "-c:a", "pcm_f32le", tmp.name],
+            capture_output=True,
+        )
+        if proc.returncode != 0:
+            warnings.warn(f"ffmpeg failed on {path}: {proc.stderr.decode()[:200]}")
+            return None
+        return read_wav(tmp.name)

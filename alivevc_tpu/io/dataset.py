@@ -11,12 +11,12 @@ from __future__ import annotations
 
 import glob
 import os
-import warnings
+
 from typing import Iterator, List, Optional
 
 import numpy as np
 
-from alivevc_tpu.io.audio import read_wav
+from alivevc_tpu.io.audio import read_audio
 
 
 def _resample_np(wave: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
@@ -54,10 +54,10 @@ class WaveChunkDataset:
 
         chunks, f0s = [], []
         for path in paths:
-            if not path.lower().endswith(".wav"):
-                warnings.warn(f"skipping non-WAV file (no decoder in image): {path}")
+            decoded = read_audio(path)  # mp3/ogg/flac via ffmpeg when on PATH
+            if decoded is None:
                 continue
-            wave, sr = read_wav(path)
+            wave, sr = decoded  # chunking takes channel 0 (module/dataset.py:33)
             wave = _resample_np(wave, sr, sampling_rate)
             n = wave.shape[1] // length
             for i in range(n):

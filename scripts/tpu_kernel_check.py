@@ -1,0 +1,124 @@
+"""On-chip validation of the Pallas TPU kernels against their XLA references.
+
+The interpreter-mode tests (tests/test_kernels_interpret.py) validate kernel
+*math*; this script validates the *Mosaic lowering* on real hardware — the
+documented TPU gaps (alignment constraints, bf16 MXU accumulation, shifted
+view tiling) only bite on-chip.  Prints one JSON verdict line per kernel and
+an overall line; exit code 0 iff every kernel passes.
+
+Run on the tunneled TPU:  python scripts/tpu_kernel_check.py
+Results belong in PARITY.md ("on-chip kernel check").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    results = []
+
+    def record(kernel, max_abs, max_rel, tol, extra=None):
+        ok = bool(max_abs <= tol)
+        row = {
+            "kernel": kernel,
+            "backend": backend,
+            "max_abs_err": float(max_abs),
+            "max_rel_err": float(max_rel),
+            "tol": tol,
+            "ok": ok,
+        }
+        if extra:
+            row.update(extra)
+        results.append(row)
+        print(json.dumps(row))
+
+    rng = np.random.default_rng(0)
+
+    # ---- STFT front end vs jnp DFT-matmul reference ----------------------
+    from alivevc_tpu.kernels.stft_pallas import stft_magnitude_pallas
+    from alivevc_tpu.ops.stft import spectrogram
+
+    wave = (0.5 * np.sin(2 * np.pi * 220 * np.arange(48_000) / 16000)
+            + 0.1 * rng.standard_normal(48_000)).astype(np.float32)[None, :]
+    got = np.asarray(stft_magnitude_pallas(jnp.asarray(wave))[:, :-1, :])
+    ref = np.asarray(spectrogram(jnp.asarray(wave)))
+    err = np.abs(got - ref)
+    record("stft_magnitude", err.max(), (err / (np.abs(ref) + 1e-3)).max(), 2e-2)
+
+    # ---- fused kNN top-k vs lax.top_k ------------------------------------
+    from alivevc_tpu.kernels.knn_pallas import match_features_pallas
+    from alivevc_tpu.ops.knn import match_features
+
+    src = jnp.asarray(rng.standard_normal((450, 768)).astype(np.float32))
+    lib = jnp.asarray(rng.standard_normal((8192, 768)).astype(np.float32))
+    got = np.asarray(match_features_pallas(src, lib, k=4))
+    ref = np.asarray(match_features(src, lib, k=4))
+    err = np.abs(got - ref)
+    record("knn_match", err.max(), (err / (np.abs(ref) + 1e-3)).max(), 5e-3)
+
+    # ---- harmonic oscillator source vs XLA cumsum reference --------------
+    from alivevc_tpu.kernels.oscillator_pallas import harmonic_source_pallas
+    from alivevc_tpu.models.decoder import harmonic_oscillator, init_decoder
+
+    lf = 120
+    f0 = jnp.asarray(
+        (150.0 + 40.0 * np.sin(np.linspace(0, 6, lf)))
+        .astype(np.float32)[None, :, None]
+    )
+    mul = jnp.arange(1, 65, dtype=jnp.float32)
+    formants = f0 * mul
+    amps = jnp.asarray(np.exp(rng.standard_normal((1, lf, 64)) * 0.3).astype(np.float32))
+    got = np.asarray(harmonic_source_pallas(formants, amps))[0, :, 0]
+
+    # XLA reference path: mean(sin(2π·cumsum(interp(formants)/sr))·interp(amps))
+    from alivevc_tpu.ops.interp import linear_interpolate
+    import math
+
+    fi = linear_interpolate(formants, lf * 320, axis=1)
+    ai = linear_interpolate(amps, lf * 320, axis=1)
+    dt = jnp.cumsum(fi / 16000.0, axis=1)
+    dt = dt - dt[:, 0][:, None, :]
+    ref = np.asarray(jnp.mean(jnp.sin(2 * math.pi * dt) * ai, axis=2))[0]
+    err = np.abs(got - ref)
+    # phase accumulates over 38400 samples; tolerance reflects fp32 cumsum drift
+    record("harmonic_oscillator", err.max(), err.max() / (np.abs(ref).max() + 1e-6), 5e-3)
+
+    # ---- packed filter U-Net vs plain (on-chip layouts) ------------------
+    from alivevc_tpu.config import DecoderConfig
+    from alivevc_tpu.models.decoder import filter_unet
+    from alivevc_tpu.models.filter_packed import filter_unet_packed
+
+    cfg = DecoderConfig()
+    dec = init_decoder(jax.random.PRNGKey(0))
+    lw = 1920 * 8
+    source = jnp.asarray(rng.standard_normal((2, lw, 1)).astype(np.float32) * 0.3)
+    cond = jnp.asarray(
+        rng.standard_normal((2, lw // 320, cfg.channels)).astype(np.float32) * 0.5
+    )
+    os.environ["ALIVEVC_FORCE_PLAIN"] = "1"
+    ref = np.asarray(jax.jit(lambda *a: filter_unet(dec["filter"], *a, cfg))(source, cond))
+    del os.environ["ALIVEVC_FORCE_PLAIN"]
+    got = np.asarray(
+        jax.jit(lambda *a: filter_unet_packed(dec["filter"], *a, cfg))(source, cond)
+    )
+    err = np.abs(got - ref)
+    record("filter_packed", err.max(), err.max() / (np.abs(ref).max() + 1e-6), 5e-3)
+
+    ok = all(r["ok"] for r in results)
+    print(json.dumps({"overall_ok": ok, "kernels": len(results), "backend": backend}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
