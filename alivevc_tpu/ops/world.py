@@ -4,9 +4,12 @@ The reference uses pyworld's DIO+StoneMask to label F0-estimator training data
 and for the optional ``-wpe`` runtime path (module/common.py:113-137,
 train_f0_estimator.py; SURVEY §2.3).  pyworld is not in this image, so this is
 a from-scratch numpy implementation of the published WORLD algorithms
-(M. Morise's DIO band-wise zero-crossing/peak/dip period estimator and the
+(M. Morise's DIO: band-wise zero-crossing/peak/dip period candidates, best-band
+selection, and the FixF0Contour post-processing — octave-jump elimination,
+short-segment removal, candidate-based section extension — followed by the
 StoneMask instantaneous-frequency refinement), validated on synthetic harmonic
-signals (tests/test_world.py).  It is a *label generator* — runtime pitch on
+signals (tests/test_world.py) and realistic stress corpora
+(tests/test_world_fidelity.py).  It is a *label generator* — runtime pitch on
 TPU uses the learned F0Estimator.
 
 ``compute_f0`` mirrors the reference helper exactly in shape semantics:
@@ -68,6 +71,80 @@ def _event_intervals(x: np.ndarray, fs: float, kind: str):
     return centers, f0
 
 
+def _voiced_runs(f0: np.ndarray):
+    """[(start, end_exclusive), ...] of contiguous voiced (>0) frames."""
+    runs = []
+    start = None
+    for i, v in enumerate(f0):
+        if v > 0 and start is None:
+            start = i
+        elif v <= 0 and start is not None:
+            runs.append((start, i))
+            start = None
+    if start is not None:
+        runs.append((start, len(f0)))
+    return runs
+
+
+def fix_f0_contour(
+    f0: np.ndarray,
+    cand_f0: np.ndarray,          # [n_bands, F] per-band candidate contours (0 = none)
+    allowed_range: float = 0.1,
+    min_voiced_frames: int = 6,
+    max_extend: int = 10,
+) -> np.ndarray:
+    """WORLD DIO's FixF0Contour post-processing (published step 3).
+
+    1. octave-jump elimination: zero frames whose relative change vs the
+       *original* previous frame exceeds ``allowed_range`` (WORLD FixStep2).
+       A multi-frame octave spike thus loses its entry frame, survives as a
+       detached short segment (removed by step 2), and the one good frame
+       killed at the spike's exit is re-filled by step 3,
+    2. short-segment removal: voiced runs shorter than ``min_voiced_frames``
+       are unvoiced (WORLD FixStep1's voice_range_minimum),
+    3. candidate extension: each surviving voiced section is extended forward
+       and backward (≤ ``max_extend`` frames) by picking, per frame, the
+       band candidate closest to the running reference, accepted while within
+       ``allowed_range`` of it (WORLD FixStep3/4's ExtendF0 + SelectBestF0).
+    """
+    F = f0.shape[0]
+    prev = np.concatenate([[0.0], f0[:-1]])
+    jump = (f0 > 0) & (prev > 0) & (
+        np.abs(f0 - prev) / np.maximum(prev, 1e-12) > allowed_range
+    )
+    out = np.where(jump, 0.0, f0)
+
+    for s, e in _voiced_runs(out):
+        if e - s < min_voiced_frames:
+            out[s:e] = 0.0
+
+    runs = _voiced_runs(out)
+    for ri, (s, e) in enumerate(runs):
+        nxt_start = runs[ri + 1][0] if ri + 1 < len(runs) else F
+        ref = out[e - 1]
+        for j in range(e, min(e + max_extend, nxt_start)):
+            c = cand_f0[:, j]
+            rel = np.where(c > 0, np.abs(c - ref) / max(ref, 1e-12), np.inf)
+            b = int(np.argmin(rel))
+            if rel[b] > allowed_range:
+                break
+            out[j] = c[b]
+            ref = c[b]
+        prev_end = runs[ri - 1][1] if ri > 0 else 0
+        ref = out[s]
+        for j in range(s - 1, max(s - 1 - max_extend, prev_end - 1), -1):
+            if out[j] > 0:          # already filled by the previous forward pass
+                break
+            c = cand_f0[:, j]
+            rel = np.where(c > 0, np.abs(c - ref) / max(ref, 1e-12), np.inf)
+            b = int(np.argmin(rel))
+            if rel[b] > allowed_range:
+                break
+            out[j] = c[b]
+            ref = c[b]
+    return out
+
+
 def dio(
     x: np.ndarray,
     fs: int,
@@ -86,6 +163,7 @@ def dio(
     n_bands = int(np.ceil(np.log2(f0_ceil / f0_floor) * channels_in_octave)) + 1
     best_f0 = np.zeros(n_frames)
     best_dev = np.full(n_frames, np.inf)
+    cand_f0 = np.zeros((n_bands, n_frames))
 
     for b in range(n_bands):
         boundary = f0_floor * (2.0 ** ((b + 1) / channels_in_octave))
@@ -107,12 +185,14 @@ def dio(
         with np.errstate(divide="ignore", invalid="ignore"):
             rel_dev = np.where(mean_f0 > 0, dev / np.maximum(mean_f0, 1e-12), np.inf)
         in_range = (mean_f0 > max(f0_floor, boundary / 4.0)) & (mean_f0 < min(f0_ceil, boundary * 1.1))
+        cand_f0[b] = np.where(in_range, mean_f0, 0.0)
         score = np.where(in_range, rel_dev, np.inf)
         better = score < best_dev
         best_f0 = np.where(better, mean_f0, best_f0)
         best_dev = np.where(better, score, best_dev)
 
     f0 = np.where(best_dev < allowed_range, best_f0, 0.0)
+    f0 = fix_f0_contour(f0, cand_f0, allowed_range)
     return f0, frame_t
 
 

@@ -6,9 +6,12 @@
 // Same algorithm as the Python implementation so the two can be compared
 // directly in tests: band-wise Nuttall-windowed-sinc low-pass filtering,
 // four event-interval period estimates (zero-crossings up/down, peaks, dips)
-// per band, reliability = relative stddev, best-band selection, then
-// StoneMask refinement via amplitude-weighted instantaneous frequency of the
-// first harmonics around a 3-period Blackman window.
+// per band, reliability = relative stddev, best-band selection, WORLD's
+// FixF0Contour post-processing (octave-jump elimination, short-segment
+// removal, candidate-based section extension — mirrors
+// ops/world.py:fix_f0_contour), then StoneMask refinement via
+// amplitude-weighted instantaneous frequency of the first harmonics around a
+// 3-period Blackman window.
 //
 // Exposed as a C ABI for ctypes (alivevc_tpu/native_bindings.py).
 
@@ -151,6 +154,76 @@ std::vector<double> interp_to_frames(const Events& ev,
   return out;
 }
 
+// contiguous voiced (>0) frame runs as (start, end_exclusive)
+std::vector<std::pair<int, int>> voiced_runs(const std::vector<double>& f0) {
+  std::vector<std::pair<int, int>> runs;
+  int start = -1;
+  for (int i = 0; i < static_cast<int>(f0.size()); ++i) {
+    if (f0[i] > 0 && start < 0) start = i;
+    else if (f0[i] <= 0 && start >= 0) { runs.emplace_back(start, i); start = -1; }
+  }
+  if (start >= 0) runs.emplace_back(start, static_cast<int>(f0.size()));
+  return runs;
+}
+
+// WORLD DIO FixF0Contour — mirrors ops/world.py:fix_f0_contour exactly.
+void fix_f0_contour(std::vector<double>& f0,
+                    const std::vector<std::vector<double>>& cand_f0,
+                    double allowed_range, int min_voiced_frames = 6,
+                    int max_extend = 10) {
+  const int n = static_cast<int>(f0.size());
+  // 1. octave-jump elimination (forward scan vs original previous frame)
+  std::vector<double> base(f0);
+  for (int i = 1; i < n; ++i) {
+    if (base[i] > 0 && base[i - 1] > 0 &&
+        std::fabs(base[i] - base[i - 1]) / std::max(base[i - 1], 1e-12) >
+            allowed_range) {
+      f0[i] = 0.0;
+    }
+  }
+  // 2. short-segment removal
+  for (const auto& run : voiced_runs(f0)) {
+    if (run.second - run.first < min_voiced_frames) {
+      for (int i = run.first; i < run.second; ++i) f0[i] = 0.0;
+    }
+  }
+  // 3. candidate-based forward/backward extension of each section
+  const auto runs = voiced_runs(f0);
+  const int n_bands = static_cast<int>(cand_f0.size());
+  for (size_t ri = 0; ri < runs.size(); ++ri) {
+    const int s = runs[ri].first, e = runs[ri].second;
+    const int nxt_start = (ri + 1 < runs.size()) ? runs[ri + 1].first : n;
+    double ref = f0[e - 1];
+    for (int j = e; j < std::min(e + max_extend, nxt_start); ++j) {
+      int best = -1;
+      double best_rel = 1e30;
+      for (int b = 0; b < n_bands; ++b) {
+        if (cand_f0[b][j] <= 0) continue;
+        const double rel = std::fabs(cand_f0[b][j] - ref) / std::max(ref, 1e-12);
+        if (rel < best_rel) { best_rel = rel; best = b; }
+      }
+      if (best < 0 || best_rel > allowed_range) break;
+      f0[j] = cand_f0[best][j];
+      ref = f0[j];
+    }
+    const int prev_end = (ri > 0) ? runs[ri - 1].second : 0;
+    ref = f0[s];
+    for (int j = s - 1; j > std::max(s - 1 - max_extend, prev_end - 1); --j) {
+      if (f0[j] > 0) break;  // filled by the previous section's forward pass
+      int best = -1;
+      double best_rel = 1e30;
+      for (int b = 0; b < n_bands; ++b) {
+        if (cand_f0[b][j] <= 0) continue;
+        const double rel = std::fabs(cand_f0[b][j] - ref) / std::max(ref, 1e-12);
+        if (rel < best_rel) { best_rel = rel; best = b; }
+      }
+      if (best < 0 || best_rel > allowed_range) break;
+      f0[j] = cand_f0[best][j];
+      ref = f0[j];
+    }
+  }
+}
+
 double refine_frame(const std::vector<double>& x, double fs, double t,
                     double f0_init) {
   if (f0_init <= 0) return 0.0;
@@ -222,6 +295,8 @@ int32_t alive_dio_stonemask(const float* x_in, int32_t n, int32_t fs,
                           std::log2(f0_ceil / f0_floor) * channels_in_octave)) + 1;
   std::vector<double> best_f0(n_frames, 0.0);
   std::vector<double> best_dev(n_frames, 1e30);
+  std::vector<std::vector<double>> cand_f0(n_bands,
+                                           std::vector<double>(n_frames, 0.0));
 
   for (int b = 0; b < n_bands; ++b) {
     const double boundary =
@@ -251,6 +326,7 @@ int32_t alive_dio_stonemask(const float* x_in, int32_t n, int32_t fs,
       const double rel = (mean > 0) ? dev / std::max(mean, 1e-12) : 1e30;
       const bool in_range = mean > std::max(f0_floor, boundary / 4.0) &&
                             mean < std::min(f0_ceil, boundary * 1.1);
+      if (in_range) cand_f0[b][i] = mean;
       const double score = in_range ? rel : 1e30;
       if (score < best_dev[i]) {
         best_f0[i] = mean;
@@ -259,11 +335,15 @@ int32_t alive_dio_stonemask(const float* x_in, int32_t n, int32_t fs,
     }
   }
 
+  std::vector<double> f0(n_frames);
   for (int i = 0; i < n_frames; ++i) {
-    double f0 = (best_dev[i] < allowed_range) ? best_f0[i] : 0.0;
+    f0[i] = (best_dev[i] < allowed_range) ? best_f0[i] : 0.0;
+  }
+  fix_f0_contour(f0, cand_f0, allowed_range);
+  for (int i = 0; i < n_frames; ++i) {
     // two StoneMask refinement passes (matching ops/world.py stonemask)
-    f0 = refine_frame(x, fs, frame_t[i], refine_frame(x, fs, frame_t[i], f0));
-    f0_out[i] = f0;
+    f0_out[i] =
+        refine_frame(x, fs, frame_t[i], refine_frame(x, fs, frame_t[i], f0[i]));
   }
   return n_frames;
 }

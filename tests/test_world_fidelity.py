@@ -158,6 +158,49 @@ def test_octave_error_trap():
     _check_cpp_agrees(x, f0)
 
 
+def test_fix_f0_contour_unit():
+    """The published DIO FixF0Contour steps on a hand-built contour:
+    octave spikes removed, short blips unvoiced, dropouts re-extended from
+    band candidates."""
+    from alivevc_tpu.ops.world import fix_f0_contour
+
+    F = 60
+    f0 = np.full(F, 150.0)
+    f0[:10] = 0.0          # leading silence
+    f0[25] = 300.0         # isolated octave spike
+    f0[30:34] = 0.0        # dropout (candidates available)
+    f0[50:] = 0.0          # trailing silence
+    f0[54:57] = 180.0      # 3-frame blip in silence (< min_voiced_frames)
+    cand = np.zeros((2, F))
+    cand[0, 10:50] = 150.0  # one band tracks the truth across the voiced span
+    cand[1, 25] = 300.0     # (silence has no candidates — no events to interval)
+    out = fix_f0_contour(f0, cand, allowed_range=0.1)
+    assert np.all(out[54:57] == 0.0), "short blip must be removed"
+    assert abs(out[25] - 150.0) < 1e-9, "octave spike must be replaced via extension"
+    assert np.all(out[30:34] == 150.0), "dropout must be re-filled from candidates"
+    assert np.all(out[:10] == 0.0) and np.all(out[57:] == 0.0)
+
+
+def test_dropout_recovery():
+    """A 40 ms amplitude notch mid-vowel: raw candidate selection loses the
+    frames, the contour-fixing extension must recover most of them."""
+    def amp_of_t(t):
+        a = np.ones_like(t)
+        a[(t > 0.70) & (t < 0.74)] = 0.02
+        return a
+
+    x, _ = synth(lambda t: np.full_like(t, 130.0), 1.5, amp_of_t=amp_of_t,
+                 noise_snr_db=30, seed=4)
+    f0, t = estimate_py(x)
+    notch = (t > 0.69) & (t < 0.75)
+    vi = f0[notch] > 0
+    assert vi.mean() > 0.6, f"notch voiced recall {vi.mean()}"
+    if vi.any():
+        err = np.abs(f0[notch][vi] - 130.0)
+        assert np.median(err) < 4.0, f"notch median err {np.median(err)} Hz"
+    _check_cpp_agrees(x, f0)
+
+
 def test_pipeline_compute_f0_realistic():
     """The 16 kHz training-label pipeline (resample → DIO+StoneMask → 50 Hz
     frames) on a vibrato signal with noise: labels land on the true contour."""
