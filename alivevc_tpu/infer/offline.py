@@ -81,7 +81,12 @@ def convert_window(
     if impl == "pallas":
         from alivevc_tpu.kernels.knn_pallas import match_features_pallas_batched
 
-        feat = match_features_pallas_batched(feat, tgt, k=k, alpha=alpha)
+        # bf16 fast mode also runs the library match single-pass bf16 (the
+        # mode is already an approximation; near-tie ranking may flip)
+        feat = match_features_pallas_batched(
+            feat, tgt, k=k, alpha=alpha,
+            precision="default" if dtype == "bf16" else "highest",
+        )
     elif tgt.shape[0] > 16_384:
         # large library: stream the reference in chunks instead of
         # materializing the [N, Ls, Lr] similarity matrix
@@ -203,8 +208,8 @@ class OfflineConverter:
 
     def convert(self, wave: np.ndarray, sr: int) -> np.ndarray:
         """Arbitrary-rate in/out: resample → convert → resample back."""
-        if wave.ndim == 2:  # [C, L] → mono
-            wave = wave.mean(axis=0)
+        if wave.ndim == 2:  # [C, L] or [L, C] → mono (channel axis = shorter)
+            wave = wave.mean(axis=0 if wave.shape[0] <= wave.shape[1] else 1)
         if sr != self.sample_rate:
             wave16 = np.asarray(resample(jnp.asarray(wave)[None], sr, self.sample_rate))[0]
         else:

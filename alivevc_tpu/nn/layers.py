@@ -83,9 +83,24 @@ def depthwise_conv1d(
     x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None, padding: int = 0,
     dilation: int = 1,
 ) -> jax.Array:
-    """Depthwise conv: x [N, T, C], w [k, C]."""
-    c = x.shape[-1]
-    return conv1d(x, w[:, None, :], b, padding=padding, dilation=dilation, groups=c)
+    """Depthwise conv: x [N, T, C], w [k, C].
+
+    Written as k shifted elementwise multiply-adds rather than a grouped
+    conv_general_dilated — per-channel groups lower to per-group MXU passes
+    on TPU, while the shifted form is pure VPU work that XLA fuses with the
+    surrounding elementwise ops.
+    """
+    k = w.shape[0]
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0))) if padding else x
+    t_out = xp.shape[1] - (k - 1) * dilation
+    y = None
+    for j in range(k):
+        seg = jax.lax.slice_in_dim(xp, j * dilation, j * dilation + t_out, axis=1)
+        term = seg * w[j]
+        y = term if y is None else y + term
+    if b is not None:
+        y = y + b
+    return y
 
 
 def get_padding(kernel_size: int, dilation: int = 1) -> int:

@@ -87,7 +87,11 @@ def main():
         if use_pallas:
             from alivevc_tpu.kernels.knn_pallas import match_features_pallas_batched
 
-            return match_features_pallas_batched(feat, tgt, k=4, alpha=0.0)
+            # mirror infer/offline.py: bf16 fast mode runs the match single-pass
+            return match_features_pallas_batched(
+                feat, tgt, k=4, alpha=0.0,
+                precision="default" if use_bf16 else "highest",
+            )
         return match_features(feat, tgt, k=4, alpha=0.0)
 
     def f0_of(spec):

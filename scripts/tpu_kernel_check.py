@@ -63,7 +63,10 @@ def main() -> int:
     src = jnp.asarray(rng.standard_normal((450, 768)).astype(np.float32))
     lib = jnp.asarray(rng.standard_normal((8192, 768)).astype(np.float32))
     got = np.asarray(match_features_pallas(src, lib, k=4))
-    ref = np.asarray(match_features(src, lib, k=4))
+    # the XLA reference must also run fp32-highest: at TPU default precision
+    # its cosine matmul is bf16-ish and flips near-ties on random data
+    with jax.default_matmul_precision("highest"):
+        ref = np.asarray(match_features(src, lib, k=4))
     err = np.abs(got - ref)
     record("knn_match", err.max(), (err / (np.abs(ref) + 1e-3)).max(), 5e-3)
 

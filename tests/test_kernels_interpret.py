@@ -31,6 +31,28 @@ def test_knn_kernel_interpret():
     np.testing.assert_allclose(np.asarray(want_v), np.asarray(got_v), rtol=1e-5, atol=1e-6)
 
 
+def test_knn_kernel_interpret_bf16_fast_path():
+    """precision='default' streams the library in bf16 with f32 accumulation.
+
+    Ranking may flip on near-ties, so assert *quality*: every returned
+    neighbour's true fp32 cosine similarity is within a small margin of the
+    exact k-th best for that query.
+    """
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.standard_normal((64, 768)).astype(np.float32))
+    lib = jnp.asarray(rng.standard_normal((1024, 768)).astype(np.float32))
+    want_v, _ = topk_cosine_chunked(src, lib, 4)
+    with pltpu.force_tpu_interpret_mode():
+        got_v, got_i = knn_topk_pallas(src, lib, 4, tile=512, precision="default")
+    srcn = np.asarray(src) / np.linalg.norm(src, axis=-1, keepdims=True)
+    libn = np.asarray(lib) / np.linalg.norm(lib, axis=-1, keepdims=True)
+    true_sims = np.take_along_axis(srcn @ libn.T, np.asarray(got_i), axis=1)
+    kth_best = np.asarray(want_v)[:, -1:]
+    assert np.all(true_sims >= kth_best - 5e-3)
+    # reported bf16 sims are close to the true fp32 sims of the same indices
+    np.testing.assert_allclose(np.asarray(got_v), true_sims, atol=2e-2)
+
+
 def test_stft_kernel_interpret():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((1, 6400)).astype(np.float32))
