@@ -1,0 +1,417 @@
+"""Pallas TPU kernel: fused Filter U-Net level (input conv + res-block stack).
+
+The packed-layout XLA implementation (models/filter_packed.py) already turns
+every causal conv of a level into lane-dense [*,W]@[W,W] matmuls, but each of
+the ~13 ops per level (2 FiLM tensors + 1 conv per modulated conv, x 6 convs,
+plus gelu/residual) round-trips the level tensor through HBM — measured
+~177 ms of a 309 ms conversion step at the config-#3 bench shape, ~3% of MXU
+peak (PERF.md).  This kernel runs one level's whole stack —
+
+    input_conv -> 3 x [gelu -> FiLM -> causal conv -> gelu -> FiLM ->
+                       causal conv -> +residual]
+
+— on a VMEM-resident time tile: HBM traffic becomes ~2 reads + 1 write of the
+level tensor (x is read twice for the halo ref) instead of ~26 passes.
+
+Reference semantics: module/decoder.py:105-182 (ModulatedCausalConv1d /
+FilterResBlock / FilterBlock).  Math parity vs models/filter_packed.py:
+tests/test_filter_pallas.py.
+
+Key constructions
+-----------------
+* **Packed layout**: a level with C channels (C<=128) rides as [N, B, W=128]
+  with P = 128//C consecutive samples per row (models/filter_packed.py).
+  C=256 rides as [N, B, 256] with P=1.
+* **Causal convs** are sums of block-shifted matmuls y = sum_s x_{-s} @ M_s
+  with M_s precomputed in XLA from the conv weight and the intra-block sample
+  permutation (decoder._packed_matrices; zero shift-matrices are dropped).
+  Shifts become static sublane slices of a zero-padded VMEM value.
+* **Halo**: the stack's causal lookback is 2*(k-1)*sum(2^i) samples (56 for
+  k=5, dilations 1/2/4) = HB packed rows.  Each grid step loads its tile plus
+  the previous tile (same array passed twice with a shifted index map — the
+  Mosaic way around overlapping BlockSpecs) and computes TB+HB rows; the
+  first HB rows of the result are contaminated and discarded.  At t==0 the
+  halo is zero-masked before every conv, reproducing the XLA bulk path's
+  shift-in-zeros; the reflect-pad head (first HB rows of the window) is then
+  recomputed exactly by the XLA packed path and stitched (causality makes a
+  head-strip recompute exact).
+* **FiLM in-kernel**: scale/shift are tiny at frame rate ([N, F, C], r =
+  samples per frame, P | r).  The kernel receives edge-padded frame rows
+  (lane-tiled to W) and expands them to sample rate with the torch
+  ``F.interpolate(mode='linear', align_corners=False)`` 3-tap periodic form:
+  rep(frames, m)[j] three ways x three constant periodic per-lane weight
+  tables (cf. filter_packed._film_consts), where m = r // P rows per frame.
+  Frames tile with the grid via prev/cur/next refs (frame blocks align with
+  time tiles because TB*P % r == 0).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from alivevc_tpu.config import DecoderConfig
+from alivevc_tpu.nn.layers import Params, linear
+from alivevc_tpu.ops.interp import _upsample_weights_np
+
+
+def _gelu_erf(x: jax.Array) -> jax.Array:
+    """Exact-GELU with an in-kernel erf: Mosaic has no erf/erfc lowering, so
+    use Abramowitz & Stegun 7.1.26 (|eps| <= 1.5e-7 absolute on erf, i.e.
+    <= ~1e-7 * |x| on GELU — far below bf16 resolution and the fp32 parity
+    tolerances).  Computed in f32 regardless of activation dtype."""
+    xf = x.astype(jnp.float32) * np.float32(1.0 / math.sqrt(2.0))
+    s = jnp.sign(xf)
+    ax = jnp.abs(xf)
+    t = 1.0 / (1.0 + np.float32(0.3275911) * ax)
+    poly = ((((np.float32(1.061405429) * t + np.float32(-1.453152027)) * t
+              + np.float32(1.421413741)) * t + np.float32(-0.284496736)) * t
+            + np.float32(0.254829592)) * t
+    erf = s * (1.0 - poly * jnp.exp(-ax * ax))
+    return (0.5 * x.astype(jnp.float32) * (1.0 + erf)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# geometry
+# ---------------------------------------------------------------------------
+
+
+def _stack_lookback_samples(k: int, n_blocks: int) -> int:
+    return 2 * (k - 1) * sum(2 ** i for i in range(n_blocks))
+
+
+def _choose_tb(b: int, p: int, r: int, w: int, hb: int,
+               itemsize: int = 2) -> Tuple[int, int]:
+    """Pick the time-tile TB (packed rows) and padded row count B_pad.
+
+    Mosaic's on-chip lowering requires the second-to-last block dim be a
+    multiple of 8 (sublanes) for both the level tensor tiles (TB) and the
+    FiLM frame tiles (FTB = TB/m), so TB must be a multiple of 8*m where
+    m = r/P rows per frame.  Such a TB rarely divides B at real shapes
+    (e.g. B=4500, m=10 at level 3 of a 9 s window), so the wrapper instead
+    zero-pads the time axis to B_pad = ceil(B/TB)*TB — causal convs make a
+    trailing pad inert for every real row.  Among admissible tiles we pick
+    the one minimizing waste = pad rows + halo recompute (nt*HB), tie-break
+    larger (fewer grid steps).  Returns (0, 0) when unsupported."""
+    if r % p:
+        return 0, 0
+    m = r // p
+    step = 8 * m
+    # VMEM budget: blocks (double-buffered) + the f32 value stack must fit
+    # the 100 MB scope requested via CompilerParams (the f32 stack is ~16
+    # [TBH,W] temps, the dominant term at large TB).
+    cap = (3200 if w <= 128 else 2400) if itemsize <= 2 else (
+        1600 if w <= 128 else 1200)
+    best, best_cost = (0, 0), None
+    for tb in range(step, cap + 1, step):
+        if tb <= hb or tb < 2 * m:     # halo must fit in one prev tile;
+            continue                   # film slices need TB >= 2m
+        nt = -(-b // tb)
+        b_pad = nt * tb
+        cost = (b_pad - b) + nt * hb
+        if best_cost is None or cost < best_cost or (
+            cost == best_cost and tb > best[0]
+        ):
+            best, best_cost = (tb, b_pad), cost
+    return best
+
+
+@functools.lru_cache(maxsize=None)
+def _film_tables(r: int, p: int, tbh: int, hb: int, w: int) -> np.ndarray:
+    """[3, TBH, W] periodic per-lane interp weights for rows -HB..TB-1 of a
+    tile (row rr holds samples (rr-HB)*P .. +P-1 relative to the tile)."""
+    wa, wb, wc = _upsample_weights_np(r)
+    c = w // p if p >= 1 else w
+    out = np.zeros((3, tbh, w), np.float32)
+    for rr in range(tbh):
+        for pp in range(p):
+            u = ((rr - hb) * p + pp) % r
+            out[0, rr, pp * c : (pp + 1) * c] = wa[u]
+            out[1, rr, pp * c : (pp + 1) * c] = wb[u]
+            out[2, rr, pp * c : (pp + 1) * c] = wc[u]
+    return out
+
+
+def _shift_mats(w3: jax.Array, p: int, dilation: int):
+    """Per-block-shift matmul matrices for a packed causal conv.
+
+    Same construction as decoder._packed_matrices but drops all-zero shift
+    matrices (for P=1 only k of the lookback+1 shifts are populated).
+    Returns (shift offsets tuple, mats [n, W, W])."""
+    k, c, _ = w3.shape
+    lookback = (k - 1) * dilation
+    n_prev = -(-lookback // p)
+    sels = np.zeros((n_prev + 1, k, p, p), np.float32)
+    for j in range(k):
+        off = (k - 1 - j) * dilation
+        for t_out in range(p):
+            t_in = t_out - off
+            s = 0
+            while t_in < 0:
+                t_in += p
+                s += 1
+            sels[s, j, t_in, t_out] = 1.0
+    keep = tuple(s for s in range(n_prev + 1) if sels[s].any())
+    sel = jnp.asarray(sels[list(keep)])
+    mats = jnp.einsum("sjab,jio->saibo", sel, w3)
+    return keep, mats.reshape(len(keep), p * c, p * c)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _stack_kernel(
+    xp_ref, xc_ref, fp_ref, fc_ref, fn_ref, wabc_ref, mats_ref, bias_ref,
+    out_ref,
+    *, hb: int, tb: int, m: int, ftb: int, n_res: int,
+    conv_offs, conv_mat0, precision,
+):
+    w = xc_ref.shape[-1]
+    tbh = hb + tb
+    t = pl.program_id(1)
+    dt = xc_ref.dtype
+
+    xh = jnp.concatenate([xp_ref[0][tb - hb :], xc_ref[0]], axis=0)  # [TBH, W]
+    first = t == 0
+    halo = lax.broadcasted_iota(jnp.int32, (tbh, 1), 0) < hb
+
+    def zmask(v):
+        return jnp.where(jnp.logical_and(first, halo), jnp.zeros_like(v), v)
+
+    fe = jnp.concatenate([fp_ref[0], fc_ref[0], fn_ref[0]], axis=1)  # [12,3ftb,W]
+    wa = wabc_ref[0].astype(jnp.float32)
+    wb = wabc_ref[1].astype(jnp.float32)
+    wc = wabc_ref[2].astype(jnp.float32)
+    off0 = ftb * m - hb
+
+    def film(idx):
+        rows = fe[idx].astype(jnp.float32)                       # [3ftb, W]
+        rep = jnp.broadcast_to(rows[:, None, :], (3 * ftb, m, w))
+        rep = rep.reshape(3 * ftb * m, w)
+        s0 = lax.slice(rep, (off0, 0), (off0 + tbh, w))
+        s1 = lax.slice(rep, (off0 + m, 0), (off0 + m + tbh, w))
+        s2 = lax.slice(rep, (off0 + 2 * m, 0), (off0 + 2 * m + tbh, w))
+        return (s0 * wa + s1 * wb + s2 * wc).astype(dt)
+
+    def conv(v, ci):
+        offs = conv_offs[ci]
+        smax = max(offs)
+        vp = jnp.pad(v, ((smax, 0), (0, 0))) if smax else v
+        acc = None
+        for i, s in enumerate(offs):
+            seg = lax.slice(vp, (smax - s, 0), (smax - s + tbh, w)) if smax else v
+            term = lax.dot(
+                seg, mats_ref[conv_mat0[ci] + i].astype(dt),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            acc = term if acc is None else acc + term
+        return (acc + bias_ref[ci].astype(jnp.float32)).astype(dt)
+
+    x = conv(zmask(xh), 0)                                        # input 1x1
+    for i in range(n_res):
+        res = x
+        h = _gelu_erf(x)
+        h = zmask(h * film(4 * i) + film(4 * i + 1))
+        h = conv(h, 1 + 2 * i)
+        h = _gelu_erf(h)
+        h = zmask(h * film(4 * i + 2) + film(4 * i + 3))
+        h = conv(h, 2 + 2 * i)
+        x = res + h
+    out_ref[0] = x[hb:]
+
+
+# ---------------------------------------------------------------------------
+# wrapper
+# ---------------------------------------------------------------------------
+
+
+def fused_supported(b: int, p: int, c: int, r: int, f: int,
+                    k: int = 5, n_res: int = 3, itemsize: int = 2) -> bool:
+    w = p * c
+    if w not in (128, 256) or r % max(p, 1):
+        return False
+    hb = -(-_stack_lookback_samples(k, n_res) // p)
+    tb, _ = _choose_tb(b, p, r, w, hb, itemsize)
+    if not tb:
+        return False
+    ftb = tb * p // r
+    return tb > hb and ftb >= 1 and hb < b
+
+
+def _fused_impl(
+    blk: Params,
+    x: jax.Array,          # [N, B, W] packed level tensor
+    cond: jax.Array,       # [N, F, C_cond] frame-rate conditioning
+    p: int,                # samples per packed row
+    c: int,                # logical channels
+    r: int,                # samples per frame at this level
+    k: int = 5,
+    precision: str = "default",
+    tb_override: int = 0,
+) -> jax.Array:
+    """models.filter_packed._filter_block_packed, fused into one Pallas
+    program per (window, time tile).  Exact up to float summation order; the
+    reflect-pad head (first HB rows) is recomputed by the XLA packed path."""
+    from alivevc_tpu.models.filter_packed import _filter_block_packed
+
+    n, b, w = x.shape
+    f = cond.shape[1]
+    n_res = len(blk["blocks"])
+    dt = x.dtype
+
+    hb = -(-_stack_lookback_samples(k, n_res) // p)
+    if tb_override:
+        tb, b_pad = tb_override, -(-b // tb_override) * tb_override
+    else:
+        tb, b_pad = _choose_tb(b, p, r, w, hb, jnp.dtype(dt).itemsize)
+    nt = b_pad // tb
+    if b_pad > b:
+        x = jnp.pad(x, ((0, 0), (0, b_pad - b), (0, 0)))
+    ftb = tb * p // r
+    m = r // p
+    tbh = tb + hb
+
+    # ---- XLA-side precompute (all tiny) ---------------------------------
+    # FiLM frame rows: per res block i, conv c1/c2: scale (=linear+1) and
+    # shift at frame rate, lane-tiled to W, edge-padded, padded to (nt+1)*ftb
+    fes = []
+    for i in range(n_res):
+        for cc in ("c1", "c2"):
+            pp = blk["blocks"][i][cc]
+            fes.append(linear(pp["to_scale"], cond) + 1.0)
+            fes.append(linear(pp["to_shift"], cond))
+    fe = jnp.stack([jnp.tile(v, (1, 1, p)) for v in fes], axis=1)  # [N,12,F,W]
+    fe = jnp.concatenate([fe[:, :, :1], fe], axis=2)               # front edge
+    tail = (nt + 1) * ftb - (f + 1)
+    fe = jnp.concatenate(
+        [fe] + [jnp.broadcast_to(fe[:, :, -1:], (n, 4 * n_res, tail, w))], axis=2
+    ).astype(dt)
+
+    # conv shift matrices: input 1x1 + 6 causal convs
+    eye = np.eye(p, dtype=np.float32)
+    wi = blk["input_conv"]["w"]
+    mi = jnp.einsum("pq,io->piqo", jnp.asarray(eye), wi).reshape(w, w)
+    mats_list = [mi[None]]
+    conv_offs = [(0,)]
+    conv_mat0 = [0]
+    biases = [jnp.tile(blk["input_conv"]["b"], p)]
+    nm = 1
+    for i in range(n_res):
+        for cc in ("c1", "c2"):
+            conv_p = blk["blocks"][i][cc]["conv"]
+            offs, mats = _shift_mats(conv_p["w"], p, 2 ** i)
+            conv_offs.append(offs)
+            conv_mat0.append(nm)
+            nm += len(offs)
+            mats_list.append(mats)
+            biases.append(jnp.tile(conv_p["b"], p))
+    mats_all = jnp.concatenate(mats_list, axis=0).astype(dt)       # [NM, W, W]
+    bias_all = jnp.stack(biases).astype(jnp.float32)               # [7, W]
+    wabc = jnp.asarray(_film_tables(r, p, tbh, hb, w)).astype(dt)  # [3,TBH,W]
+
+    prec = (lax.Precision.HIGHEST if precision == "highest"
+            else lax.Precision.DEFAULT)
+    kernel = functools.partial(
+        _stack_kernel, hb=hb, tb=tb, m=m, ftb=ftb, n_res=n_res,
+        conv_offs=tuple(conv_offs), conv_mat0=tuple(conv_mat0), precision=prec,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, tb, w), lambda q, t: (q, jnp.maximum(t - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, w), lambda q, t: (q, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * n_res, ftb, w),
+                         lambda q, t: (q, 0, jnp.maximum(t - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * n_res, ftb, w), lambda q, t: (q, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * n_res, ftb, w), lambda q, t: (q, 0, t + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tbh, w), lambda q, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(mats_all.shape, lambda q, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias_all.shape, lambda q, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tb, w), lambda q, t: (q, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, b_pad, w), dt),
+        # blocks + double buffering + the f32 value stack exceed the 16 MB
+        # default scoped-vmem limit at the large-tile geometries (observed
+        # 16.63 MB at W=256/TB=960 inside the e2e program); v5e has 128 MB
+        # physical VMEM, so raise the scope rather than shrink the tile.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(x, x, fe, fe, fe, wabc, mats_all, bias_all)
+
+    # reflect-pad head: the kernel's zero-pad bulk differs from the reference
+    # for the first HB rows; recompute them exactly (causal => a head strip
+    # through the XLA packed path is exact for every row it covers)
+    head = _filter_block_packed(blk, x[:, :hb], cond, p, c, r, hb)
+    return jnp.concatenate([head, out[:, hb:b]], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# autodiff: Pallas forward, packed-XLA backward
+# ---------------------------------------------------------------------------
+#
+# pallas_call has no VJP, but the fused kernel computes the exact same
+# function as _filter_block_packed (up to summation order), so the training
+# path differentiates the packed XLA implementation while keeping the fused
+# forward.  Backward cost = one packed forward (for residual linearization)
+# + its transpose, same as plain AD of the packed path.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _fused_cvjp(p, c, r, k, precision, tb_override, blk, x, cond):
+    return _fused_impl(blk, x, cond, p, c, r, k, precision, tb_override)
+
+
+def _fused_cvjp_fwd(p, c, r, k, precision, tb_override, blk, x, cond):
+    out = _fused_cvjp(p, c, r, k, precision, tb_override, blk, x, cond)
+    return out, (blk, x, cond)
+
+
+def _fused_cvjp_bwd(p, c, r, k, precision, tb_override, res, g):
+    from alivevc_tpu.models.filter_packed import _filter_block_packed
+
+    blk, x, cond = res
+    _, vjp = jax.vjp(
+        lambda b_, x_, c_: _filter_block_packed(b_, x_, c_, p, c, r, x.shape[1]),
+        blk, x, cond,
+    )
+    return vjp(g)
+
+
+_fused_cvjp.defvjp(_fused_cvjp_fwd, _fused_cvjp_bwd)
+
+
+def fused_filter_block(
+    blk: Params,
+    x: jax.Array,
+    cond: jax.Array,
+    p: int,
+    c: int,
+    r: int,
+    k: int = 5,
+    precision: str = "default",
+    tb_override: int = 0,
+) -> jax.Array:
+    return _fused_cvjp(p, c, r, k, precision, tb_override, blk, x, cond)

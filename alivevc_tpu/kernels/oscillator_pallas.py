@@ -60,6 +60,11 @@ def _osc_kernel(
     f0_ref, f1_ref, f2_ref, a0_ref, a1_ref, a2_ref, w_ref, ws_ref,
     out_ref, carry_scr, *, ft: int, seg: int, nh: int
 ):
+    """Working layout [ft, NH, SEG]: harmonics ride the sublanes (64 = eight
+    exact 8-row tiles) and samples the lanes (320 → 3 lane tiles, ~83%
+    utilization) — vs the naive [ft, seg, nh] layout whose 64-wide minor dim
+    pads every vreg to 128 lanes (50% waste).  All frame→sample mixes become
+    lane broadcasts, the harmonic mean a sublane reduction."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -70,14 +75,14 @@ def _osc_kernel(
     ws = ws_ref[:]                                         # [3, seg] prefix sums
 
     def mix(x0, x1, x2, wts):
-        acc = x0[0][:, None, :] * wts[0][None, :, None]
-        acc += x1[0][:, None, :] * wts[1][None, :, None]
-        acc += x2[0][:, None, :] * wts[2][None, :, None]
-        return acc                                         # [ft, seg, nh]
+        acc = x0[0][:, :, None] * wts[0][None, None, :]
+        acc += x1[0][:, :, None] * wts[1][None, None, :]
+        acc += x2[0][:, :, None] * wts[2][None, None, :]
+        return acc                                         # [ft, nh, seg]
 
     # within-segment inclusive phase cumsum (freq already scaled by 1/sr)
-    cseg = mix(f0_ref[:], f1_ref[:], f2_ref[:], ws)        # [ft, seg, nh]
-    totals = cseg[:, seg - 1, :]                           # [ft, nh]
+    cseg = mix(f0_ref[:], f1_ref[:], f2_ref[:], ws)        # [ft, nh, seg]
+    totals = cseg[:, :, seg - 1]                           # [ft, nh]
     # exclusive prefix over the ft segments — unrolled fp32 VPU adds (an MXU
     # matmul here would run at bf16 and wreck phases hundreds of cycles large)
     rows = []
@@ -86,18 +91,21 @@ def _osc_kernel(
         rows.append(run)
         run = run + totals[q : q + 1, :]
     base = jnp.concatenate(rows, axis=0)                   # [ft, nh]
-    phase = cseg + base[:, None, :] + carry_scr[0][None, None, :]
+    # carry scratch is [nh, 2] (harmonics on sublanes, matching phase's
+    # layout): col 0 = running carry, col 1 = the t=0 re-zero reference —
+    # no cross-layout transposes anywhere
+    phase = cseg + base[:, :, None] + carry_scr[:, 0:1][None, :, :]
 
     @pl.when(t == 0)
     def _():
         # the reference re-zeroes at dt[0] (first sample's cumsum value)
-        carry_scr[1, :] = phase[0, 0, :]
+        carry_scr[:, 1:2] = phase[0, :, 0:1]
 
-    carry_scr[0, :] = phase[ft - 1, seg - 1, :]
+    carry_scr[:, 0:1] = phase[ft - 1, :, seg - 1 : seg]
 
     amp = mix(a0_ref[:], a1_ref[:], a2_ref[:], w)
-    theta = 2.0 * math.pi * (phase - carry_scr[1][None, None, :])
-    wave = jnp.sum(jnp.sin(theta) * amp, axis=2) / nh      # [ft, seg]
+    theta = 2.0 * math.pi * (phase - carry_scr[:, 1:2][None, :, :])
+    wave = jnp.sum(jnp.sin(theta) * amp, axis=1) / nh      # [ft, seg]
     out_ref[:] = wave[None]
 
 
@@ -146,6 +154,6 @@ def harmonic_source_pallas(
             (1, ft, seg), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, n_tiles * ft, seg), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((8, nh), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((nh, 2), jnp.float32)],
     )(f0, f1, f2, a0, a1, a2, jnp.asarray(w_np), jnp.asarray(ws_np))
     return out.reshape(n, n_tiles * ft * seg)[:, : lf * seg, None]

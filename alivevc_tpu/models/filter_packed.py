@@ -256,6 +256,35 @@ def _filter_block_packed(pp, x, cond, p, c, r, b_out):
     return x
 
 
+def _fused_filter_mode() -> str:
+    """The fused Pallas level kernel (kernels/filter_pallas.py) runs the whole
+    res-block stack VMEM-resident.  Measured on-chip (PERF.md) it wins 4x at
+    the W=256 level (P=1: many shift-matmuls per conv make the packed XLA
+    path re-stream HBM) but loses at the lane-narrow W=128 levels, so 'auto'
+    fuses only W=256.  ALIVEVC_FUSED_FILTER: '0' off, '1' auto, 'all' every
+    supported level (also under interpret mode)."""
+    import os
+
+    v = os.environ.get("ALIVEVC_FUSED_FILTER")
+    if v is not None:
+        return {"0": "off", "1": "auto"}.get(v, v)
+    return "auto" if jax.default_backend() == "tpu" else "off"
+
+
+def _filter_block_dispatch(pp, x, cond, p, c, r, b_out, k):
+    mode = _fused_filter_mode()
+    if mode != "off" and (mode == "all" or p * c == 256):
+        from alivevc_tpu.kernels.filter_pallas import (
+            fused_filter_block,
+            fused_supported,
+        )
+
+        if fused_supported(x.shape[1], p, c, r, cond.shape[1], k,
+                           len(pp["blocks"]), x.dtype.itemsize):
+            return fused_filter_block(pp, x, cond, p, c, r, k)
+    return _filter_block_packed(pp, x, cond, p, c, r, b_out)
+
+
 # ---------------------------------------------------------------------------
 # top level
 # ---------------------------------------------------------------------------
@@ -370,7 +399,8 @@ def filter_unet_packed(
         w3 = up["w"].reshape(cin, r, cout).transpose(1, 0, 2)
         x = _packed_linear(x + skip, w3, up["b"], "up", r, 0, pin, pout, b_out)
         r_film = lens[lvl] // f
-        x = _filter_block_packed(blk, x, c, pout, cout, r_film, b_out)
+        x = _filter_block_dispatch(blk, x, c, pout, cout, r_film, b_out,
+                                   cfg.filter_kernel_size)
 
     # wave-out conv: stride-1 k=7 pad 3, chans[0] → 1
     w_out = p["source_out"]["w"]

@@ -65,6 +65,43 @@ def main():
         f0 = jnp.full((n, lf, 1), 180.0)
         x = feats
         fn = lambda v: harmonic_oscillator(p, v, f0)[0]
+    elif args.stage == "filter":
+        from alivevc_tpu.config import DecoderConfig
+        from alivevc_tpu.models.filter_packed import filter_unet_packed
+
+        cfg = DecoderConfig()
+        p = init_decoder(keys[0])["filter"]
+        if args.dtype == "bf16":
+            p = jax.tree_util.tree_map(lambda a: a.astype(act), p)
+        cond = (jax.random.normal(keys[2], (n, lf, cfg.channels)) * 0.3).astype(act)
+        x = (jax.random.normal(keys[1], (n, lw, 1)) * 0.3).astype(act)
+        fn = lambda v: filter_unet_packed(p, v, cond, cfg)
+    elif args.stage.startswith("flevel"):
+        # one level's packed filter block (input conv + res-block stack)
+        import numpy as _np
+
+        from alivevc_tpu.config import DecoderConfig
+        from alivevc_tpu.models.filter_packed import _filter_block_dispatch, _pfac
+
+        cfg = DecoderConfig()
+        lvl = int(args.stage[len("flevel"):])
+        chans = list(cfg.filter_channels)
+        rates = list(cfg.filter_rates)
+        lens = [lw]
+        for r in rates:
+            lens.append(lens[-1] // r)
+        c_lvl, l_lvl = chans[lvl], lens[lvl]
+        pfac = _pfac(c_lvl)
+        dec = init_decoder(keys[0])
+        blk = dec["filter"]["blocks"][len(chans) - 1 - lvl]
+        if args.dtype == "bf16":
+            blk = jax.tree_util.tree_map(lambda a: a.astype(act), blk)
+        cond = (jax.random.normal(keys[2], (n, lf, cfg.channels)) * 0.3).astype(act)
+        x = (jax.random.normal(keys[1], (n, l_lvl // pfac, 128 if c_lvl <= 128 else c_lvl))
+             * 0.3).astype(act)
+        r_film = l_lvl // lf
+        fn = lambda v: _filter_block_dispatch(blk, v, cond, pfac, c_lvl, r_film,
+                                              v.shape[1], cfg.filter_kernel_size)
     else:
         raise SystemExit(f"unknown stage {args.stage}")
 

@@ -118,6 +118,33 @@ def main() -> int:
     err = np.abs(got - ref)
     record("filter_packed", err.max(), err.max() / (np.abs(ref).max() + 1e-6), 5e-3)
 
+    # ---- fused filter-level Pallas kernel vs packed XLA -------------------
+    from alivevc_tpu.kernels.filter_pallas import fused_filter_block
+    from alivevc_tpu.models.filter_packed import _filter_block_packed, _pfac
+
+    chans = list(cfg.filter_channels)
+    lens = [lw]
+    for r in cfg.filter_rates:
+        lens.append(lens[-1] // r)
+    f = lw // 320
+    for lvl in (2, 3):
+        c = chans[lvl]
+        p = _pfac(c)
+        b = lens[lvl] // p
+        r_film = lens[lvl] // f
+        blk = dec["filter"]["blocks"][len(chans) - 1 - lvl]
+        xl = jnp.asarray(rng.standard_normal((2, b, p * c)).astype(np.float32) * 0.3)
+        got = np.asarray(
+            jax.jit(lambda *a: fused_filter_block(*a, p, c, r_film,
+                                                  precision="highest"))(blk, xl, cond)
+        )
+        ref = np.asarray(
+            jax.jit(lambda *a: _filter_block_packed(*a, p, c, r_film, b))(blk, xl, cond)
+        )
+        err = np.abs(got - ref)
+        record(f"fused_filter_lvl{lvl}", err.max(),
+               err.max() / (np.abs(ref).max() + 1e-6), 5e-3)
+
     ok = all(r["ok"] for r in results)
     print(json.dumps({"overall_ok": ok, "kernels": len(results), "backend": backend}))
     return 0 if ok else 1

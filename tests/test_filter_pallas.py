@@ -1,0 +1,112 @@
+"""Fused filter-level Pallas kernel (kernels/filter_pallas.py) parity vs the
+packed XLA implementation, interpret mode.  Covers every level geometry of
+the default config (C = 8/16/64/256, P = 16/8/2/1), the multi-tile halo
+path, and the full U-Net with fused levels vs the plain reference path.
+On-chip validation: scripts/tpu_kernel_check.py (results in PARITY.md)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from alivevc_tpu.config import DecoderConfig
+from alivevc_tpu.kernels.filter_pallas import fused_filter_block, fused_supported
+from alivevc_tpu.models.decoder import filter_unet, init_decoder
+from alivevc_tpu.models.filter_packed import _filter_block_packed, _pfac
+
+CFG = DecoderConfig()
+LW = 15360
+F = LW // 320
+
+
+def _level(lvl):
+    chans = list(CFG.filter_channels)
+    lens = [LW]
+    for r in CFG.filter_rates:
+        lens.append(lens[-1] // r)
+    c = chans[lvl]
+    p = _pfac(c)
+    return c, p, lens[lvl] // p, lens[lvl] // F
+
+
+@pytest.fixture(scope="module")
+def dec():
+    return init_decoder(jax.random.PRNGKey(0))
+
+
+@pytest.mark.parametrize("lvl", [0, 1, 2, 3])
+def test_fused_level_parity(dec, lvl):
+    c, p, b, r = _level(lvl)
+    blk = dec["filter"]["blocks"][len(CFG.filter_channels) - 1 - lvl]
+    assert fused_supported(b, p, c, r, F)
+    rng = np.random.default_rng(lvl)
+    x = jnp.asarray(rng.standard_normal((2, b, p * c)).astype(np.float32) * 0.3)
+    cond = jnp.asarray(rng.standard_normal((2, F, CFG.channels)).astype(np.float32) * 0.5)
+    want = np.asarray(_filter_block_packed(blk, x, cond, p, c, r, b))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_filter_block(blk, x, cond, p, c, r, precision="highest"))
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
+
+
+@pytest.mark.parametrize("lvl,tb", [(0, 240), (2, 480), (3, 120), (3, 400)])
+def test_fused_level_multitile(dec, lvl, tb):
+    """Forced small tiles exercise the prev-tile halo ref and the frame-block
+    alignment across tile boundaries; (3, 400) does not divide B=480 and so
+    exercises the zero-pad tail path (B_pad=800)."""
+    c, p, b, r = _level(lvl)
+    blk = dec["filter"]["blocks"][len(CFG.filter_channels) - 1 - lvl]
+    rng = np.random.default_rng(10 + lvl)
+    x = jnp.asarray(rng.standard_normal((2, b, p * c)).astype(np.float32) * 0.3)
+    cond = jnp.asarray(rng.standard_normal((2, F, CFG.channels)).astype(np.float32) * 0.5)
+    want = np.asarray(_filter_block_packed(blk, x, cond, p, c, r, b))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fused_filter_block(blk, x, cond, p, c, r, precision="highest",
+                               tb_override=tb)
+        )
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
+
+
+def test_fused_gradients_match_packed(dec):
+    """custom_vjp routes backward through the packed XLA path; grads wrt
+    params, x and cond must match plain AD of the packed implementation."""
+    lvl = 3
+    c, p, b, r = _level(lvl)
+    blk = dec["filter"]["blocks"][len(CFG.filter_channels) - 1 - lvl]
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.standard_normal((1, b, p * c)).astype(np.float32) * 0.3)
+    cond = jnp.asarray(rng.standard_normal((1, F, CFG.channels)).astype(np.float32) * 0.5)
+
+    def loss_fused(blk_, x_, cond_):
+        with pltpu.force_tpu_interpret_mode():
+            y = fused_filter_block(blk_, x_, cond_, p, c, r, precision="highest")
+        return jnp.sum(y * jnp.cos(0.01 * jnp.arange(y.size).reshape(y.shape)))
+
+    def loss_packed(blk_, x_, cond_):
+        y = _filter_block_packed(blk_, x_, cond_, p, c, r, b)
+        return jnp.sum(y * jnp.cos(0.01 * jnp.arange(y.size).reshape(y.shape)))
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(blk, x, cond)
+    g_p = jax.grad(loss_packed, argnums=(0, 1, 2))(blk, x, cond)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4)
+
+
+def test_full_unet_fused_vs_plain(dec, monkeypatch):
+    from alivevc_tpu.models.filter_packed import filter_unet_packed
+
+    monkeypatch.setenv("ALIVEVC_FUSED_FILTER", "all")
+    monkeypatch.setenv("ALIVEVC_FORCE_PACKED", "1")
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.standard_normal((2, LW, 1)).astype(np.float32) * 0.3)
+    cond = jnp.asarray(rng.standard_normal((2, F, CFG.channels)).astype(np.float32) * 0.5)
+    monkeypatch.setenv("ALIVEVC_FORCE_PLAIN", "1")
+    want = np.asarray(filter_unet(dec["filter"], src, cond, CFG))
+    monkeypatch.delenv("ALIVEVC_FORCE_PLAIN")
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(filter_unet_packed(dec["filter"], src, cond, CFG))
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
