@@ -31,6 +31,20 @@ def test_knn_kernel_interpret():
     np.testing.assert_allclose(np.asarray(want_v), np.asarray(got_v), rtol=1e-5, atol=1e-6)
 
 
+def test_knn_kernel_interpret_single_tile():
+    """Library smaller than one tile: the pipelined grid degenerates to
+    (compute, drain) — two steps, one real tile — and the lr mask must drop
+    the padding before the only extraction."""
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.standard_normal((17, 768)).astype(np.float32))
+    lib = jnp.asarray(rng.standard_normal((300, 768)).astype(np.float32))
+    want_v, want_i = topk_cosine_chunked(src, lib, 4)
+    with pltpu.force_tpu_interpret_mode():
+        got_v, got_i = knn_topk_pallas(src, lib, 4, tile=512)
+    np.testing.assert_array_equal(np.asarray(want_i), np.asarray(got_i))
+    np.testing.assert_allclose(np.asarray(want_v), np.asarray(got_v), rtol=1e-5, atol=1e-6)
+
+
 def test_knn_kernel_interpret_bf16_fast_path():
     """precision='default' streams the library in bf16 with f32 accumulation.
 
