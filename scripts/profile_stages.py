@@ -34,6 +34,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     from alivevc_tpu.config import DecoderConfig
     from alivevc_tpu.models.content_encoder import content_encoder, init_content_encoder
     from alivevc_tpu.models.decoder import (
@@ -140,13 +147,23 @@ def main():
         feats = feature_extractor(dec_c["feature_extractor"], feat, f0)
         return source_of(feats, f0)
 
+    def filter_of(src, feats):
+        # mirror decoder()'s impl selection (packed + fused levels on TPU)
+        from alivevc_tpu.models.decoder import select_filter_impl
+
+        if select_filter_impl(cfg, src.shape[1]) == "packed":
+            from alivevc_tpu.models.filter_packed import filter_unet_packed
+
+            return filter_unet_packed(dec_c["filter"], src, feats, cfg)[..., 0]
+        return filter_unet(dec_c["filter"], src, feats, cfg)[..., 0]
+
     def p_full(w, tgt):
         s = spec_of(w)
         f0 = f0_of(s)
         feat = knn_of(content_encoder(ce_c, s), tgt).astype(act)
         feats = feature_extractor(dec_c["feature_extractor"], feat, f0)
         src = source_of(feats, f0)
-        return filter_unet(dec_c["filter"], src.astype(feats.dtype), feats, cfg)[..., 0]
+        return filter_of(src.astype(feats.dtype), feats)
 
     stages = [
         ("spec", p_spec),
@@ -159,23 +176,29 @@ def main():
     ]
 
     def timed(fn):
-        jfn = jax.jit(fn)
+        # K chained prefix applications inside ONE jit (bench.py methodology):
+        # the chain bias is computed and applied in-program, so nothing
+        # unjitted (and no extra dispatch) pollutes the per-step delta.
+        def scan_fn(w, tgt, k):
+            def body(carry, _):
+                y = fn(carry, tgt)
+                leaves = jax.tree_util.tree_leaves(y)
+                bias = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+                return w + (bias * 1e-30).astype(w.dtype), ()
 
-        def force(y):
-            leaves = jax.tree_util.tree_leaves(y)
-            return sum(float(jnp.sum(l.astype(jnp.float32))) for l in leaves)
+            c, _ = jax.lax.scan(body, w, None, length=k)
+            return c
 
-        force(jfn(x, tgt))  # compile
+        jfn = jax.jit(scan_fn, static_argnames=("k",))
+        float(jnp.sum(jfn(x, tgt, 1).astype(jnp.float32)))       # compile K=1
+        float(jnp.sum(jfn(x, tgt, args.steps).astype(jnp.float32)))
         t0 = time.perf_counter()
-        cur = x
-        out = None
-        for _ in range(args.steps):
-            out = jfn(cur, tgt)
-            first = jax.tree_util.tree_leaves(out)[0]
-            bias = (jnp.sum(first.astype(jnp.float32)) * 1e-30).astype(x.dtype)
-            cur = x + bias
-        force(out)
-        return (time.perf_counter() - t0) / args.steps
+        float(jnp.sum(jfn(x, tgt, 1).astype(jnp.float32)))
+        dt0 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(jnp.sum(jfn(x, tgt, args.steps).astype(jnp.float32)))
+        dt1 = time.perf_counter() - t0
+        return (dt1 - dt0) / (args.steps - 1)
 
     prev = 0.0
     audio_s = args.batch * args.chunk / 16000.0
