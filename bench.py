@@ -94,9 +94,17 @@ def main():
 
     times = {}
     for impl, dtype in (("xla", "fp32"), ("pallas", "fp32"), ("pallas", "bf16")):
-        dt = _timed_scan(make_scan(impl, dtype), (x, tgt), steps)
+        # one variant failing to compile must not sink the whole benchmark —
+        # report the best variant that runs
+        try:
+            dt = _timed_scan(make_scan(impl, dtype), (x, tgt), steps)
+        except Exception as e:  # noqa: BLE001
+            print(f"impl={impl}/{dtype} FAILED: {e}", file=sys.stderr)
+            continue
         times[(impl, dtype)] = dt
         print(f"impl={impl}/{dtype} dt={dt:.4f}s/step", file=sys.stderr)
+    if not times:
+        raise SystemExit("all bench variants failed")
     dt = min(times.values())
 
     # each window contributes `chunk` kept samples (overlap-discard), but the
