@@ -38,6 +38,40 @@ def dec():
     return init_decoder(jax.random.PRNGKey(0))
 
 
+def test_choose_tb_invariants():
+    """Tile geometry rules across every level of the real window lengths:
+    Mosaic sublane alignment (TB and FTB multiples of 8), frame alignment
+    (TB rows = whole frames), pad consistency, halo fits one tile."""
+    from alivevc_tpu.kernels.filter_pallas import (
+        _choose_tb,
+        _stack_lookback_samples,
+    )
+
+    rates = list(CFG.filter_rates)
+    chans = list(CFG.filter_channels)
+    for lw in (144_000, 48_000, 15_360, 7_680):   # 9 s / 3 s / tests / stream
+        f = lw // 320
+        lens = [lw]
+        for rr in rates:
+            lens.append(lens[-1] // rr)
+        for lvl, c in enumerate(chans):
+            p = _pfac(c)
+            w = p * c
+            b = lens[lvl] // p
+            r = lens[lvl] // f
+            if r % p:
+                continue
+            hb = -(-_stack_lookback_samples(CFG.filter_kernel_size, 3) // p)
+            for itemsize in (2, 4):
+                tb, b_pad = _choose_tb(b, p, r, w, hb, itemsize)
+                assert tb > 0, (lw, lvl, itemsize)
+                m = r // p
+                assert tb % 8 == 0 and tb % m == 0
+                assert (tb * p // r) % 8 == 0      # FTB sublane-aligned
+                assert b_pad % tb == 0 and b_pad >= b
+                assert tb > hb
+
+
 @pytest.mark.parametrize("lvl", [0, 1, 2, 3])
 def test_fused_level_parity(dec, lvl):
     c, p, b, r = _level(lvl)
