@@ -100,8 +100,15 @@ def knn_topk_pallas(
     tile: int = 512,
     precision: str = "highest",
     q_tile: int = 512,
+    penalty: jax.Array | None = None,   # [Lr] additive score bias (see below)
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming fused top-k.  Returns (values [Ls, k], indices [Ls, k]).
+
+    penalty: optional per-row additive bias applied to the cosine scores via
+    an augmented feature column (src gains a constant 1, library row i gains
+    penalty[i]); rows with penalty <= -4 can never outrank any real cosine
+    (which lives in [-1, 1]) while rows with penalty 0 keep their exact
+    score.  Used by the sharded retrieval path to exclude padding rows.
 
     precision: 'highest' → fp32 MXU passes (exact near-tie ranking, parity
     with the fp32 reference); 'default' → single-pass bf16 operands with f32
@@ -126,6 +133,12 @@ def knn_topk_pallas(
 
     src = normalize(source)
     library = normalize(library)
+    if penalty is not None:
+        src = jnp.concatenate([src, jnp.ones((ls, 1), src.dtype)], axis=1)
+        library = jnp.concatenate(
+            [library, penalty.astype(library.dtype)[:, None]], axis=1
+        )
+        d += 1
     if precision == "default":
         # bf16 operands halve VMEM + HBM traffic of the library stream and
         # run the MXU single-pass; the dot still accumulates in f32

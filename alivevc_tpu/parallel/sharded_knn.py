@@ -51,18 +51,31 @@ def sharded_match_features(
     alpha: float = 0.0,
     axis_name: str = "library",
     chunk: int = 4096,
+    impl: str = "auto",
 ) -> jax.Array:
     """match_features with the library sharded across ``axis_name``.
 
     Output is replicated [Ls, D] and equals the dense single-device result on
     the unpadded library.
+
+    impl: 'xla' (chunked jnp per shard), 'pallas' (fused streaming kernel per
+    shard; padding rows excluded exactly via the kernel's penalty column), or
+    'auto' (pallas on the TPU backend).
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     def local_fn(src, lib_shard, valid_shard):
-        vals, idx = topk_cosine_chunked(
-            src, lib_shard, k=k, chunk=min(chunk, lib_shard.shape[0]),
-            valid=valid_shard,
-        )
+        if impl == "pallas":
+            from alivevc_tpu.kernels.knn_pallas import knn_topk_pallas
+
+            pen = jnp.where(valid_shard, 0.0, -4.0).astype(jnp.float32)
+            vals, idx = knn_topk_pallas(src, lib_shard, k=k, penalty=pen)
+        else:
+            vals, idx = topk_cosine_chunked(
+                src, lib_shard, k=k, chunk=min(chunk, lib_shard.shape[0]),
+                valid=valid_shard,
+            )
         vecs = lib_shard[idx]                          # [Ls, k, D]
         all_vals = jax.lax.all_gather(vals, axis_name)  # [P, Ls, k]
         all_vecs = jax.lax.all_gather(vecs, axis_name)  # [P, Ls, k, D]

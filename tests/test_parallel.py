@@ -53,6 +53,31 @@ def test_sharded_knn_duplicate_winner(mesh8):
     np.testing.assert_allclose(np.asarray(dense), np.asarray(sharded), rtol=1e-6, atol=1e-6)
 
 
+def test_knn_pallas_penalty_column_excludes_padding():
+    """The penalty-column trick the pallas sharded impl relies on: rows with
+    penalty -4 never appear in any top-k (cosine lives in [-1, 1]) and rows
+    with penalty 0 keep bit-exact scores and lax.top_k index ordering.  The
+    cross-shard merge itself is impl-independent and covered above; pallas
+    interpret under an 8-way shard_map is too slow to run in CI."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from alivevc_tpu.kernels.knn_pallas import knn_topk_pallas
+    from alivevc_tpu.ops.knn import topk_cosine_chunked
+
+    rng = np.random.default_rng(4)
+    src = jnp.asarray(rng.standard_normal((21, 768)).astype(np.float32))
+    lib = jnp.asarray(rng.standard_normal((125, 768)).astype(np.float32))
+    valid = jnp.arange(125) < 93                       # trailing padding rows
+    pen = jnp.where(valid, 0.0, -4.0)
+    want_v, want_i = topk_cosine_chunked(src, lib, 4, chunk=64, valid=valid)
+    with pltpu.force_tpu_interpret_mode():
+        got_v, got_i = knn_topk_pallas(src, lib, 4, penalty=pen)
+    np.testing.assert_array_equal(np.asarray(want_i), np.asarray(got_i))
+    np.testing.assert_allclose(
+        np.asarray(want_v), np.asarray(got_v), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_halo_content_encoder_equals_dense():
     mesh = make_mesh([("data", 8)])
     params = init_content_encoder(jax.random.PRNGKey(0))
