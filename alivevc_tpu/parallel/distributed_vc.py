@@ -26,10 +26,12 @@ from alivevc_tpu.config import DecoderConfig
 from alivevc_tpu.models.content_encoder import content_encoder
 from alivevc_tpu.models.decoder import decoder
 from alivevc_tpu.models.f0_estimator import f0_estimate
-from alivevc_tpu.ops.knn import topk_cosine_chunked
 from alivevc_tpu.ops.pitch import apply_intonation
 from alivevc_tpu.ops.stft import spectrogram
-from alivevc_tpu.parallel.sharded_knn import pad_library_for_sharding
+from alivevc_tpu.parallel.sharded_knn import (
+    local_topk_merge,
+    pad_library_for_sharding,
+)
 
 
 def convert_windows_distributed(
@@ -46,8 +48,11 @@ def convert_windows_distributed(
     alpha: float = 0.0,
     dec_cfg: DecoderConfig = DecoderConfig(),
     chunk: int = 4096,
+    impl: str = "auto",
 ) -> jax.Array:
     """→ converted windows [N, Lw], sharded over 'data'."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     n_lib = mesh.shape["library"]
     lib_p, valid = pad_library_for_sharding(library, n_lib)
     lib_p = jax.device_put(lib_p, NamedSharding(mesh, P("library")))
@@ -62,22 +67,10 @@ def convert_windows_distributed(
 
         n_loc, ls, d = content.shape
         flat = content.reshape(n_loc * ls, d)
-        vals, idx = topk_cosine_chunked(
-            flat, lib_shard, k=k, chunk=min(chunk, lib_shard.shape[0]),
-            valid=valid_shard,
-        )
-        vecs = lib_shard[idx]                            # [Q, k, D]
-        all_vals = jax.lax.all_gather(vals, "library")   # [P, Q, k]
-        all_vecs = jax.lax.all_gather(vecs, "library")
-        p_lib = all_vals.shape[0]
-        q = flat.shape[0]
-        fv = jnp.transpose(all_vals, (1, 0, 2)).reshape(q, p_lib * k)
-        fx = jnp.transpose(all_vecs, (1, 0, 2, 3)).reshape(q, p_lib * k, d)
-        _, pos = jax.lax.top_k(fv, k)
-        gathered = jnp.take_along_axis(fx, pos[..., None], axis=1)
-        matched = jnp.mean(gathered, axis=1)
-        matched = matched * (1.0 - alpha) + flat * alpha
-        matched = matched.reshape(n_loc, ls, d)
+        matched = local_topk_merge(
+            flat, lib_shard, valid_shard, k=k, alpha=alpha,
+            axis_name="library", chunk=chunk, impl=impl,
+        ).reshape(n_loc, ls, d)
 
         wave, _ = decoder(dec_params, matched, f0 * f0_rate, cfg=dec_cfg)
         return wave

@@ -66,27 +66,10 @@ def sharded_match_features(
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     def local_fn(src, lib_shard, valid_shard):
-        if impl == "pallas":
-            from alivevc_tpu.kernels.knn_pallas import knn_topk_pallas
-
-            pen = jnp.where(valid_shard, 0.0, -4.0).astype(jnp.float32)
-            vals, idx = knn_topk_pallas(src, lib_shard, k=k, penalty=pen)
-        else:
-            vals, idx = topk_cosine_chunked(
-                src, lib_shard, k=k, chunk=min(chunk, lib_shard.shape[0]),
-                valid=valid_shard,
-            )
-        vecs = lib_shard[idx]                          # [Ls, k, D]
-        all_vals = jax.lax.all_gather(vals, axis_name)  # [P, Ls, k]
-        all_vecs = jax.lax.all_gather(vecs, axis_name)  # [P, Ls, k, D]
-        p = all_vals.shape[0]
-        ls = src.shape[0]
-        flat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(ls, p * k)
-        flat_vecs = jnp.transpose(all_vecs, (1, 0, 2, 3)).reshape(ls, p * k, -1)
-        top_vals, top_pos = jax.lax.top_k(flat_vals, k)
-        gathered = jnp.take_along_axis(flat_vecs, top_pos[..., None], axis=1)
-        result = jnp.mean(gathered, axis=1)
-        return result * (1.0 - alpha) + src * alpha
+        return local_topk_merge(
+            src, lib_shard, valid_shard, k=k, alpha=alpha,
+            axis_name=axis_name, chunk=chunk, impl=impl,
+        )
 
     fn = jax.shard_map(
         local_fn,
@@ -96,3 +79,38 @@ def sharded_match_features(
         check_vma=False,
     )
     return fn(source, library, valid)
+
+
+def local_topk_merge(
+    src: jax.Array,          # [Q, D] local queries (replicated or data-sharded)
+    lib_shard: jax.Array,    # [Lr/P, D] this device's library shard
+    valid_shard: jax.Array,  # [Lr/P] bool
+    k: int,
+    alpha: float,
+    axis_name: str,
+    chunk: int,
+    impl: str,
+) -> jax.Array:
+    """Per-shard top-k + all_gather merge.  Runs INSIDE shard_map; shared by
+    the 1-D sharded match and the 2-D pod conversion (distributed_vc)."""
+    if impl == "pallas":
+        from alivevc_tpu.kernels.knn_pallas import knn_topk_pallas
+
+        pen = jnp.where(valid_shard, 0.0, -4.0).astype(jnp.float32)
+        vals, idx = knn_topk_pallas(src, lib_shard, k=k, penalty=pen)
+    else:
+        vals, idx = topk_cosine_chunked(
+            src, lib_shard, k=k, chunk=min(chunk, lib_shard.shape[0]),
+            valid=valid_shard,
+        )
+    vecs = lib_shard[idx]                          # [Q, k, D]
+    all_vals = jax.lax.all_gather(vals, axis_name)  # [P, Q, k]
+    all_vecs = jax.lax.all_gather(vecs, axis_name)  # [P, Q, k, D]
+    p = all_vals.shape[0]
+    q = src.shape[0]
+    flat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(q, p * k)
+    flat_vecs = jnp.transpose(all_vecs, (1, 0, 2, 3)).reshape(q, p * k, -1)
+    top_vals, top_pos = jax.lax.top_k(flat_vals, k)
+    gathered = jnp.take_along_axis(flat_vecs, top_pos[..., None], axis=1)
+    result = jnp.mean(gathered, axis=1)
+    return result * (1.0 - alpha) + src * alpha

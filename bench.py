@@ -47,13 +47,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # Persistent compile cache: the chained-scan programs cost many minutes
-    # of remote compile through the axon relay; warmed entries make repeat
-    # runs (including the driver's) start in seconds.
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    from alivevc_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(os.path.dirname(os.path.abspath(__file__)))
 
     from alivevc_tpu.infer.offline import convert_window
     from alivevc_tpu.models.content_encoder import init_content_encoder

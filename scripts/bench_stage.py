@@ -30,10 +30,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
-    )
-    jax.config.update("jax_compilation_cache_dir", cache)
+    from alivevc_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from alivevc_tpu.models.content_encoder import content_encoder, init_content_encoder
     from alivevc_tpu.models.decoder import harmonic_oscillator, init_decoder

@@ -30,16 +30,15 @@ def main():
     ap.add_argument("--library", type=int, default=100_000)
     ap.add_argument("--steps", type=int, default=8)
     args = ap.parse_args()
+    if args.steps < 2:
+        ap.error("--steps must be >= 2 (per-step = (t_K - t_1)/(K - 1))")
 
     import jax
     import jax.numpy as jnp
 
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
-    )
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    from alivevc_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from alivevc_tpu.config import DecoderConfig
     from alivevc_tpu.models.content_encoder import content_encoder, init_content_encoder

@@ -70,6 +70,20 @@ def main() -> int:
     err = np.abs(got - ref)
     record("knn_match", err.max(), (err / (np.abs(ref) + 1e-3)).max(), 5e-3)
 
+    # ---- penalty-column exclusion (sharded retrieval path) ---------------
+    from alivevc_tpu.kernels.knn_pallas import knn_topk_pallas
+    from alivevc_tpu.ops.knn import topk_cosine_chunked
+
+    n_valid = 7000
+    valid = jnp.arange(lib.shape[0]) < n_valid
+    pen = jnp.where(valid, 0.0, -4.0)
+    got_v, got_i = knn_topk_pallas(src, lib, 4, penalty=pen)
+    want_v, want_i = topk_cosine_chunked(src, lib, 4, chunk=2048, valid=valid)
+    idx_mismatch = float(np.mean(np.asarray(got_i) != np.asarray(want_i)))
+    err = np.abs(np.asarray(got_v) - np.asarray(want_v))
+    record("knn_penalty_column", max(err.max(), idx_mismatch),
+           (err / (np.abs(np.asarray(want_v)) + 1e-3)).max(), 5e-3)
+
     # ---- harmonic oscillator source vs XLA cumsum reference --------------
     from alivevc_tpu.kernels.oscillator_pallas import harmonic_source_pallas
     from alivevc_tpu.models.decoder import harmonic_oscillator, init_decoder

@@ -31,16 +31,15 @@ def main():
     ap.add_argument("--seconds", type=float, default=2.4)
     ap.add_argument("--steps", type=int, default=5)
     args = ap.parse_args()
+    if args.steps < 2:
+        ap.error("--steps must be >= 2 (per-step = (t_K - t_1)/(K - 1))")
 
     import jax
     import jax.numpy as jnp
 
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
-    )
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    from alivevc_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from alivevc_tpu.models.content_encoder import init_content_encoder
     from alivevc_tpu.models.f0_estimator import init_f0_estimator
@@ -62,41 +61,28 @@ def main():
         from alivevc_tpu.train.gan import gan_train_step, init_gan
 
         state = init_gan(k3)
-
-        def scan_fn(state, wave, rng, k):
-            def body(carry, _):
-                st, r = carry
-                r, sub = jax.random.split(r)
-                st, metrics = gan_train_step(st, ce, pe, wave, sub)
-                return (st, r), metrics["loss_g"]
-
-            (st, _), losses = jax.lax.scan(
-                body, (state, rng), None, length=k
-            )
-            return losses[-1]
-
+        step_fn = gan_train_step
     else:
         from alivevc_tpu.models.decoder import init_decoder
         from alivevc_tpu.models.discriminator import init_discriminator
         from alivevc_tpu.models.voice_library import init_voice_library
         from alivevc_tpu.train.fine_tune import fine_tune_step, init_fine_tune
 
-        kd, kk = jax.random.split(k3)
+        kd, kdisc, kvl = jax.random.split(k3, 3)
         state = init_fine_tune(
-            init_decoder(kd), init_discriminator(kk), init_voice_library(kk)
+            init_decoder(kd), init_discriminator(kdisc), init_voice_library(kvl)
         )
+        step_fn = fine_tune_step
 
-        def scan_fn(state, wave, rng, k):
-            def body(carry, _):
-                st, r = carry
-                r, sub = jax.random.split(r)
-                st, metrics = fine_tune_step(st, ce, pe, wave, sub)
-                return (st, r), metrics["loss_g"]
+    def scan_fn(state, wave, rng, k):
+        def body(carry, _):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            st, metrics = step_fn(st, ce, pe, wave, sub)
+            return (st, r), metrics["loss_g"]
 
-            (st, _), losses = jax.lax.scan(
-                body, (state, rng), None, length=k
-            )
-            return losses[-1]
+        (st, _), losses = jax.lax.scan(body, (state, rng), None, length=k)
+        return losses[-1]
 
     jfn = jax.jit(scan_fn, static_argnames=("k",))
     rng = jax.random.PRNGKey(1)
