@@ -105,6 +105,29 @@ def test_fused_level_multitile(dec, lvl, tb):
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
 
 
+def test_fused_level_bf16(dec):
+    """Production dtype: bf16 activations/params through the fused kernel
+    must track the bf16 packed path within bf16 resolution (the two differ
+    only in float summation order)."""
+    lvl = 3
+    c, p, b, r = _level(lvl)
+    blk = dec["filter"]["blocks"][len(CFG.filter_channels) - 1 - lvl]
+    blk16 = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), blk)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, b, p * c)).astype(np.float32) * 0.3
+                    ).astype(jnp.bfloat16)
+    cond = jnp.asarray(
+        rng.standard_normal((2, F, CFG.channels)).astype(np.float32) * 0.5
+    ).astype(jnp.bfloat16)
+    want = np.asarray(_filter_block_packed(blk16, x, cond, p, c, r, b)
+                      ).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_filter_block(blk16, x, cond, p, c, r)
+                         ).astype(np.float32)
+    scale = np.abs(want).max() + 1e-3
+    assert np.abs(got - want).max() / scale < 0.05
+
+
 def test_fused_gradients_match_packed(dec):
     """custom_vjp routes backward through the packed XLA path; grads wrt
     params, x and cond must match plain AD of the packed implementation."""
