@@ -58,7 +58,7 @@ def _interp_weights_np(seg: int):
 
 def _osc_kernel(
     f0_ref, f1_ref, f2_ref, a0_ref, a1_ref, a2_ref, w_ref, ws_ref,
-    out_ref, carry_scr, *, ft: int, seg: int, nh: int
+    out_ref, carry_scr, base_scr, *, ft: int, seg: int, nh: int
 ):
     """Working layout [ft, NH, SEG]: harmonics ride the sublanes (64 = eight
     exact 8-row tiles) and samples the lanes (320 → 3 lane tiles, ~83%
@@ -83,14 +83,16 @@ def _osc_kernel(
     # within-segment inclusive phase cumsum (freq already scaled by 1/sr)
     cseg = mix(f0_ref[:], f1_ref[:], f2_ref[:], ws)        # [ft, nh, seg]
     totals = cseg[:, :, seg - 1]                           # [ft, nh]
-    # exclusive prefix over the ft segments — unrolled fp32 VPU adds (an MXU
-    # matmul here would run at bf16 and wreck phases hundreds of cycles large)
-    rows = []
+    # exclusive prefix over the ft segments — unrolled fp32 VPU adds staged
+    # through VMEM scratch rows (an MXU matmul here would run at bf16 and
+    # wreck phases hundreds of cycles large; a jnp.concatenate of the
+    # per-row vectors trips Mosaic's "offset mismatch on non-concat
+    # dimension" because each unrolled row carries a different vreg offset)
     run = jnp.zeros((1, totals.shape[1]), jnp.float32)
     for q in range(ft):
-        rows.append(run)
+        base_scr[q : q + 1, :] = run
         run = run + totals[q : q + 1, :]
-    base = jnp.concatenate(rows, axis=0)                   # [ft, nh]
+    base = base_scr[:]                                     # [ft, nh]
     # carry scratch is [nh, 2] (harmonics on sublanes, matching phase's
     # layout): col 0 = running carry, col 1 = the t=0 re-zero reference —
     # no cross-layout transposes anywhere
@@ -154,6 +156,9 @@ def harmonic_source_pallas(
             (1, ft, seg), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, n_tiles * ft, seg), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((nh, 2), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((nh, 2), jnp.float32),
+            pltpu.VMEM((ft, nh), jnp.float32),
+        ],
     )(f0, f1, f2, a0, a1, a2, jnp.asarray(w_np), jnp.asarray(ws_np))
     return out.reshape(n, n_tiles * ft * seg)[:, : lf * seg, None]

@@ -78,7 +78,11 @@ def main() -> int:
     valid = jnp.arange(lib.shape[0]) < n_valid
     pen = jnp.where(valid, 0.0, -4.0)
     got_v, got_i = knn_topk_pallas(src, lib, 4, penalty=pen)
-    want_v, want_i = topk_cosine_chunked(src, lib, 4, chunk=2048, valid=valid)
+    # same highest-precision rule as knn_match above: the chunked XLA
+    # reference's cosine matmul is bf16 at TPU default precision and flips
+    # near-ties on random data, which reads as spurious index/value error
+    with jax.default_matmul_precision("highest"):
+        want_v, want_i = topk_cosine_chunked(src, lib, 4, chunk=2048, valid=valid)
     idx_mismatch = float(np.mean(np.asarray(got_i) != np.asarray(want_i)))
     err = np.abs(np.asarray(got_v) - np.asarray(want_v))
     record("knn_penalty_column", max(err.max(), idx_mismatch),
