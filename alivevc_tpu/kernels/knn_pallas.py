@@ -45,14 +45,15 @@ def _extract_topk(sims, gidx, k: int):
 
 
 def _knn_kernel(src_ref, lib_ref, out_v_ref, out_i_ref, vals_scr, idx_scr,
-                sims_scr, *, k: int, tile: int, lr: int, nt: int, precision):
-    """Software-pipelined: grid step t ISSUES the MXU matmul for library tile
-    t, then runs the VPU top-k extraction for tile t-1 from VMEM scratch
-    while the MXU drains, then stores tile t's scores.  The grid has nt+1
-    steps; the last step only extracts (its matmul, on a clamped block, is
-    discarded).  Sequencing is identical to the naive loop, so results match
-    lax.top_k exactly including smallest-index tie-breaking."""
+                *, k: int, tile: int, lr: int, precision):
+    """Straight-line per-tile matmul + extraction.  A manually
+    software-pipelined variant (extract tile t-1 from a VMEM sims scratch
+    while tile t's matmul drains) was measured 1.6-2.8x SLOWER at the bench
+    shape (170→270 ms fp32-highest, 55→154 ms bf16): Mosaic's grid pipeline
+    already double-buffers the blocks and overlaps MXU/VPU work, and the
+    scratch round-trip only added VMEM traffic and a serializing hazard."""
     t = pl.program_id(1)          # library tile (minor grid dim)
+    nt = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _():
@@ -60,8 +61,7 @@ def _knn_kernel(src_ref, lib_ref, out_v_ref, out_i_ref, vals_scr, idx_scr,
         idx_scr[:] = jnp.full_like(idx_scr, 2**30)
 
     # both operands arrive L2-normalized (done once in XLA — cheaper than a
-    # per-tile sublane->lane norm transpose in here).  Issue first: the
-    # extraction below has no data dependence on this dot.
+    # per-tile sublane->lane norm transpose in here)
     sims = jax.lax.dot_general(
         src_ref[:], lib_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -69,24 +69,18 @@ def _knn_kernel(src_ref, lib_ref, out_v_ref, out_i_ref, vals_scr, idx_scr,
         precision=precision,
     )                                                                  # [Ls, TILE]
 
-    @pl.when(t > 0)
-    def _():
-        base = (t - 1) * tile
-        prev = sims_scr[:]
-        col = jax.lax.broadcasted_iota(jnp.int32, prev.shape, 1)
-        gidx = col + base
-        prev = jnp.where(gidx < lr, prev, _NEG)
-        comb_v = jnp.concatenate([vals_scr[:, :k], prev], axis=1)
-        comb_i = jnp.concatenate([idx_scr[:, :k], gidx], axis=1)
-        new_v, new_i = _extract_topk(comb_v, comb_i, k)
-        vals_scr[:, :k] = new_v
-        idx_scr[:, :k] = new_i
+    base = t * tile
+    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+    gidx = col + base
+    sims = jnp.where(gidx < lr, sims, _NEG)
 
-    @pl.when(t < nt)
-    def _():
-        sims_scr[:] = sims
+    comb_v = jnp.concatenate([vals_scr[:, :k], sims], axis=1)
+    comb_i = jnp.concatenate([idx_scr[:, :k], gidx], axis=1)
+    new_v, new_i = _extract_topk(comb_v, comb_i, k)
+    vals_scr[:, :k] = new_v
+    idx_scr[:, :k] = new_i
 
-    @pl.when(t == nt)
+    @pl.when(t == nt - 1)
     def _():
         out_v_ref[:] = vals_scr[:, :k]
         out_i_ref[:] = idx_scr[:, :k]
@@ -158,21 +152,14 @@ def knn_topk_pallas(
 
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
-    kernel = functools.partial(
-        _knn_kernel, k=k, tile=tile, lr=lr, nt=n_tiles, precision=prec
-    )
+    kernel = functools.partial(_knn_kernel, k=k, tile=tile, lr=lr, precision=prec)
     vals, idx = pl.pallas_call(
         kernel,
-        # nt+1 steps: library tiles iterate fastest (carry resets per query
-        # tile); the extra step drains the extract-behind-matmul pipeline
-        grid=(n_qt, n_tiles + 1),
+        # library tiles iterate fastest (carry resets per query tile)
+        grid=(n_qt, n_tiles),
         in_specs=[
             pl.BlockSpec((q_tile, d), lambda q, t: (q, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tile, d),
-                lambda q, t, _nt=n_tiles: (jnp.minimum(t, _nt - 1), 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((tile, d), lambda q, t: (t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((q_tile, k), lambda q, t: (q, 0), memory_space=pltpu.VMEM),
@@ -185,7 +172,6 @@ def knn_topk_pallas(
         scratch_shapes=[
             pltpu.VMEM((q_tile, 128), jnp.float32),
             pltpu.VMEM((q_tile, 128), jnp.int32),
-            pltpu.VMEM((q_tile, tile), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
