@@ -111,6 +111,135 @@ def _osc_kernel(
     out_ref[:] = wave[None]
 
 
+def _osc_cheb_kernel(
+    f0a_ref, f0b_ref, f0c_ref, a0_ref, a1_ref, a2_ref, w_ref, ws_ref,
+    out_ref, carry_scr, base_scr, *, ft: int, seg: int, nh: int
+):
+    """Chebyshev-recurrence variant: only the FUNDAMENTAL phase is mixed and
+    prefix-summed; harmonic k's waveform comes from the second-order linear
+    recurrence sin(kθ) = 2cos(θ)·sin((k−1)θ) − sin((k−2)θ).  Valid because the
+    decoder's formants are exactly f0·k (module/decoder.py:84), interpolation
+    and cumsum are linear, hence phase_k ≡ k·phase_1.  This replaces 64
+    transcendental sin evaluations per sample with one sin + one cos + 2 FMAs
+    per harmonic, and shrinks the phase-mix work ×64.
+
+    Accuracy: the running inter-tile carry is wrapped mod 1 (phase held in
+    cycles), and the per-frame base is wrapped before the sample mix, so θ
+    stays ≤ ~10 cycles inside a tile.  sin(kθ) error then grows like
+    k·ulp(θ) ≈ 4e-4 at k=64 — *better* than independent fp32 accumulation,
+    whose harmonic-64 phase reaches ~1e5 cycles with ulp ≈ 1e-2 on long
+    windows.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        carry_scr[:] = jnp.zeros_like(carry_scr)
+
+    w = w_ref[:]                                           # [3, seg]
+    ws = ws_ref[:]                                         # [3, seg]
+
+    # fundamental within-segment inclusive phase cumsum (freq pre-scaled 1/sr)
+    fa, fb, fc = f0a_ref[0], f0b_ref[0], f0c_ref[0]        # [ft, 1] each
+    cseg = (fa * ws[0:1, :] + fb * ws[1:2, :] + fc * ws[2:3, :])   # [ft, seg]
+    totals = cseg[:, seg - 1 : seg]                        # [ft, 1]
+    run = jnp.zeros((1, 1), jnp.float32)
+    for q in range(ft):
+        base_scr[q : q + 1, :] = run
+        run = run + totals[q : q + 1, :]
+    base = base_scr[:]                                     # [ft, 1]
+
+    @pl.when(t == 0)
+    def _():
+        # reference phase the decoder re-zeroes against: dt at sample 0
+        carry_scr[0:1, 1:2] = cseg[0:1, 0:1] + base[0:1, :]
+
+    # wrap the per-frame offset mod 1 BEFORE the sample mix: sin(2πx) is
+    # 1-periodic, and keeping x ≤ ~10 cycles preserves fp32 phase precision
+    off = base + carry_scr[0:1, 0:1] - carry_scr[0:1, 1:2]   # [ft, 1]
+    off = off - jnp.floor(off)
+    new_carry = cseg[ft - 1 : ft, seg - 1 : seg] + base[ft - 1 : ft, :] \
+        + carry_scr[0:1, 0:1]
+    carry_scr[0:1, 0:1] = new_carry - jnp.floor(new_carry)
+
+    theta = (2.0 * math.pi) * (cseg + off)                 # [ft, seg]
+    s1 = jnp.sin(theta)
+    twoc = 2.0 * jnp.cos(theta)
+
+    amp = (
+        a0_ref[0][:, :, None] * w[0][None, None, :]
+        + a1_ref[0][:, :, None] * w[1][None, None, :]
+        + a2_ref[0][:, :, None] * w[2][None, None, :]
+    )                                                      # [ft, nh, seg]
+
+    s_km2 = jnp.zeros_like(s1)                             # sin(0·θ)
+    s_km1 = s1
+    acc = s1 * amp[:, 0, :]
+    for k in range(1, nh):
+        s_k = twoc * s_km1 - s_km2
+        acc = acc + s_k * amp[:, k, :]
+        s_km2, s_km1 = s_km1, s_k
+    out_ref[:] = (acc / nh)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate", "frame_tile"))
+def harmonic_source_cheb_pallas(
+    f0: jax.Array,         # [N, Lf, 1] or [N, Lf] Hz (fundamental)
+    amps: jax.Array,       # [N, Lf, NH]
+    sample_rate: int = 16_000,
+    frame_tile: int = 8,
+) -> jax.Array:
+    """Harmonic source via the Chebyshev sin(kθ) recurrence.
+
+    → source wave [N, Lf*320, 1] (crop=(0,-1), phi=0 semantics); exactly the
+    decoder's offline oscillator with formants = f0 · (1..NH)
+    (module/decoder.py:66-102).
+    """
+    if f0.ndim == 3:
+        f0 = f0[..., 0]
+    n, lf = f0.shape
+    nh = amps.shape[-1]
+    seg = 320
+    ft = min(frame_tile, lf)
+    n_tiles = -(-lf // ft)
+
+    pad_r = n_tiles * ft - lf + 1
+    f = jnp.concatenate(
+        [f0[:, :1], f0, jnp.repeat(f0[:, -1:], pad_r, axis=1)], axis=1
+    ).astype(jnp.float32) / sample_rate
+    a = jnp.concatenate(
+        [amps[:, :1], amps, jnp.repeat(amps[:, -1:], pad_r, axis=1)], axis=1
+    ).astype(jnp.float32)
+    body = n_tiles * ft
+    f = f[:, :, None]                                      # [N, body+2, 1]
+    f0a, f0b, f0c = f[:, 0:body], f[:, 1 : body + 1], f[:, 2 : body + 2]
+    a0, a1, a2 = a[:, 0:body], a[:, 1 : body + 1], a[:, 2 : body + 2]
+
+    w_np, ws_np = _interp_weights_np(seg)
+
+    f_spec = pl.BlockSpec((1, ft, 1), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec((1, ft, nh), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda b, t: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_osc_cheb_kernel, ft=ft, seg=seg, nh=nh)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_tiles),
+        in_specs=[f_spec] * 3 + [a_spec] * 3
+        + [const_spec((3, seg)), const_spec((3, seg))],
+        out_specs=pl.BlockSpec(
+            (1, ft, seg), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles * ft, seg), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, 2), jnp.float32),
+            pltpu.VMEM((ft, 1), jnp.float32),
+        ],
+    )(f0a, f0b, f0c, a0, a1, a2, jnp.asarray(w_np), jnp.asarray(ws_np))
+    return out.reshape(n, n_tiles * ft * seg)[:, : lf * seg, None]
+
+
 @functools.partial(jax.jit, static_argnames=("sample_rate", "frame_tile"))
 def harmonic_source_pallas(
     formants: jax.Array,   # [N, Lf, 64] Hz (f0 * harmonic index)

@@ -401,12 +401,14 @@ def decoder(
     feats = feature_extractor(params["feature_extractor"], content, f0)
     if oscillator_impl == "pallas":
         assert crop == (0, -1), "pallas oscillator serves the offline path only"
-        from alivevc_tpu.kernels.oscillator_pallas import harmonic_source_pallas
+        # Chebyshev variant: formants are exactly f0·k, so only the
+        # fundamental phase is integrated and sin(kθ) comes from the
+        # 2cos(θ)·sin((k−1)θ) − sin((k−2)θ) recurrence (one sin+cos per
+        # sample instead of num_harmonics transcendentals)
+        from alivevc_tpu.kernels.oscillator_pallas import harmonic_source_cheb_pallas
 
-        mul = jnp.arange(1, cfg.num_harmonics + 1, dtype=jnp.float32)
-        formants = f0.astype(jnp.float32) * mul
         amps = jnp.exp(linear(params["harmonic_oscillator"]["to_amps"], feats))
-        source = harmonic_source_pallas(formants, amps, cfg.sample_rate)
+        source = harmonic_source_cheb_pallas(f0, amps, cfg.sample_rate)
         phi_out = None
     else:
         source, phi_out = harmonic_oscillator(

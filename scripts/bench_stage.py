@@ -64,6 +64,24 @@ def main():
         f0 = jnp.full((n, lf, 1), 180.0)
         x = feats
         fn = lambda v: harmonic_oscillator(p, v, f0)[0]
+    elif args.stage in ("posc", "cosc"):
+        # Pallas oscillators: full-formant kernel vs Chebyshev recurrence
+        from alivevc_tpu.kernels.oscillator_pallas import (
+            harmonic_source_cheb_pallas,
+            harmonic_source_pallas,
+        )
+
+        f0 = jnp.full((n, lf, 1), 180.0)
+        amps = jnp.exp(
+            (jax.random.normal(keys[1], (n, lf, 64)) * 0.3).astype(jnp.float32)
+        )
+        x = amps
+        if args.stage == "posc":
+            mul = jnp.arange(1, 65, dtype=jnp.float32)
+            formants = f0 * mul
+            fn = lambda v: harmonic_source_pallas(formants, v)
+        else:
+            fn = lambda v: harmonic_source_cheb_pallas(f0, v)
     elif args.stage == "filter":
         from alivevc_tpu.config import DecoderConfig
         from alivevc_tpu.models.filter_packed import filter_unet_packed

@@ -115,6 +115,14 @@ def main() -> int:
     # phase accumulates over 38400 samples; tolerance reflects fp32 cumsum drift
     record("harmonic_oscillator", err.max(), err.max() / (np.abs(ref).max() + 1e-6), 5e-3)
 
+    # ---- Chebyshev-recurrence oscillator vs the same XLA reference -------
+    from alivevc_tpu.kernels.oscillator_pallas import harmonic_source_cheb_pallas
+
+    got_c = np.asarray(harmonic_source_cheb_pallas(f0, amps))[0, :, 0]
+    err = np.abs(got_c - ref)
+    record("harmonic_oscillator_cheb", err.max(),
+           err.max() / (np.abs(ref).max() + 1e-6), 5e-3)
+
     # ---- packed filter U-Net vs plain (on-chip layouts) ------------------
     from alivevc_tpu.config import DecoderConfig
     from alivevc_tpu.models.decoder import filter_unet
