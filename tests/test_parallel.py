@@ -136,3 +136,23 @@ def test_distributed_vc_equals_single_device():
     np.testing.assert_allclose(
         np.asarray(dense), np.asarray(dist), rtol=1e-3, atol=2e-3
     )
+
+
+def test_dcn_multiprocess():
+    """Multi-process (DCN-path) leg: 2 local JAX processes, each with 2
+    virtual CPU devices, joined via jax.distributed.initialize — verifies
+    cross-process psum and the sharded-kNN merge (SURVEY §4 'multi-process
+    tests via jax.distributed.initialize with local processes')."""
+    import subprocess
+    import sys
+    import os
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "dcn_dryrun.py",
+    )
+    proc = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True, timeout=240
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "dcn_dryrun: 2 processes x 2 devices OK" in proc.stdout
