@@ -154,6 +154,63 @@ def main():
     )
     print(f"knn dt={dt_knn*1e3:.2f} ms for {queries} queries", file=sys.stderr)
 
+    # ---- accuracy budget of the bf16 fast mode vs the exact fp32 path ----
+    # The headline bf16 number is licensed by measuring what the
+    # approximation does to the OUTPUT: e2e mel-L1 / waveform distance
+    # between pallas/bf16 and pallas/fp32 on fixed utterances, plus the
+    # top-k set flip rate of the single-pass bf16 kNN at the 100k library.
+    if ("pallas", "fp32") in times and ("pallas", "bf16") in times:
+        from alivevc_tpu.kernels.knn_pallas import knn_topk_pallas
+        from alivevc_tpu.ops.stft import log_mel_spectrogram
+
+        xa = x[:8]
+        out32 = convert_window(ce, pe, dec, xa, tgt, impl="pallas", dtype="fp32")
+        out16 = convert_window(ce, pe, dec, xa, tgt, impl="pallas", dtype="bf16")
+        mel_l1 = float(
+            jnp.mean(jnp.abs(log_mel_spectrogram(out16) - log_mel_spectrogram(out32)))
+        )
+        wav_rel_l2 = float(
+            jnp.linalg.norm(out16 - out32) / jnp.maximum(jnp.linalg.norm(out32), 1e-9)
+        )
+
+        # kNN flip rate: same real content features through both precisions
+        from alivevc_tpu.models.content_encoder import content_encoder
+        from alivevc_tpu.ops.stft import spectrogram
+
+        feat = content_encoder(ce, spectrogram(xa)).reshape(-1, 768)
+        _, idx32 = knn_topk_pallas(feat, tgt, k=4, precision="highest")
+        _, idx16 = knn_topk_pallas(feat, tgt, k=4, precision="default")
+        flips = jnp.any(jnp.sort(idx32, axis=1) != jnp.sort(idx16, axis=1), axis=1)
+        flip_rate = float(jnp.mean(flips.astype(jnp.float32)))
+
+        print(
+            json.dumps(
+                {
+                    "metric": "bf16_mode_mel_l1_vs_fp32",
+                    "value": round(mel_l1, 6),
+                    "unit": "log-mel L1",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "bf16_mode_knn_topk_flip_rate_100k",
+                    "value": round(flip_rate, 6),
+                    "unit": "fraction of queries",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        print(
+            f"bf16-mode accuracy: mel_l1={mel_l1:.5f} wav_rel_l2={wav_rel_l2:.5f} "
+            f"knn_flip_rate={flip_rate:.5f} (exact fp32 path: "
+            f"{times[('pallas', 'fp32')]:.4f}s/step, bf16 fast path: "
+            f"{times[('pallas', 'bf16')]:.4f}s/step)",
+            file=sys.stderr,
+        )
+
 
 if __name__ == "__main__":
     main()

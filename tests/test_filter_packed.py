@@ -42,6 +42,7 @@ def test_packed_supported():
     assert not packed_supported(tiny, 1920 * 4)  # frame-level pack factor 4 ∤ 10
 
 
+@pytest.mark.slow
 def test_filter_packed_matches_plain_fp32():
     cfg = DecoderConfig()
     fp, source, c = _mk()
@@ -53,6 +54,7 @@ def test_filter_packed_matches_plain_fp32():
     )
 
 
+@pytest.mark.slow
 def test_filter_packed_matches_plain_streaming_window():
     cfg = DecoderConfig()
     fp, source, c = _mk(lw=7680, batch=1, seed=3)
@@ -63,6 +65,7 @@ def test_filter_packed_matches_plain_streaming_window():
     )
 
 
+@pytest.mark.slow
 def test_filter_packed_bf16_close():
     cfg = DecoderConfig()
     fp, source, c = _mk(seed=1)
@@ -80,6 +83,7 @@ def test_filter_packed_bf16_close():
     assert err_got < max(4 * err_ref, 0.05), (err_got, err_ref)
 
 
+@pytest.mark.slow
 def test_filter_packed_grads_flow():
     cfg = DecoderConfig()
     fp, source, c = _mk(lw=1920 * 2, batch=1, seed=2)

@@ -105,6 +105,7 @@ def test_fused_level_multitile(dec, lvl, tb):
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_fused_level_bf16(dec):
     """Production dtype: bf16 activations/params through the fused kernel
     must track the bf16 packed path within bf16 resolution (the two differ
@@ -128,6 +129,7 @@ def test_fused_level_bf16(dec):
     assert np.abs(got - want).max() / scale < 0.05
 
 
+@pytest.mark.slow
 def test_fused_gradients_match_packed(dec):
     """custom_vjp routes backward through the packed XLA path; grads wrt
     params, x and cond must match plain AD of the packed implementation."""
@@ -153,6 +155,7 @@ def test_fused_gradients_match_packed(dec):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_full_unet_fused_vs_plain(dec, monkeypatch):
     from alivevc_tpu.models.filter_packed import filter_unet_packed
 

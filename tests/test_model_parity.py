@@ -208,6 +208,7 @@ def test_decoder_streaming_crop_phi():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_discriminator_logits_parity():
     _seed(19)
     m = ref.discriminator.Discriminator().eval()
@@ -224,6 +225,7 @@ def test_discriminator_logits_parity():
         np.testing.assert_allclose(w, g, rtol=2e-3, atol=2e-3, err_msg=f"logit {i}")
 
 
+@pytest.mark.slow
 def test_discriminator_feat_loss_parity():
     _seed(20)
     m = ref.discriminator.Discriminator().eval()

@@ -78,6 +78,7 @@ def test_knn_pallas_penalty_column_excludes_padding():
     )
 
 
+@pytest.mark.slow
 def test_halo_content_encoder_equals_dense():
     mesh = make_mesh([("data", 8)])
     params = init_content_encoder(jax.random.PRNGKey(0))
@@ -91,6 +92,7 @@ def test_halo_content_encoder_equals_dense():
     np.testing.assert_allclose(np.asarray(dense), np.asarray(sharded), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_halo_f0_estimator_equals_dense():
     mesh = make_mesh([("data", 8)])
     params = init_f0_estimator(jax.random.PRNGKey(1))
@@ -113,6 +115,7 @@ def test_replicate_and_shard_helpers():
     assert not xs.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_distributed_vc_equals_single_device():
     """Config #5 skeleton: 2x4 ('data','library') mesh VC == dense pipeline."""
     from alivevc_tpu.infer.offline import convert_window

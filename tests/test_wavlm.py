@@ -36,6 +36,7 @@ def torch_wavlm():
     return model
 
 
+@pytest.mark.slow
 def test_wavlm_hidden_states_parity(torch_wavlm):
     sd = {k: v.detach().numpy() for k, v in torch_wavlm.state_dict().items()}
     params = import_wavlm(sd)
