@@ -258,11 +258,14 @@ def _filter_block_packed(pp, x, cond, p, c, r, b_out):
 
 def _fused_filter_mode() -> str:
     """The fused Pallas level kernel (kernels/filter_pallas.py) runs the whole
-    res-block stack VMEM-resident.  Measured on-chip (PERF.md) it wins 4x at
-    the W=256 level (P=1: many shift-matmuls per conv make the packed XLA
-    path re-stream HBM) but loses at the lane-narrow W=128 levels, so 'auto'
-    fuses only W=256.  ALIVEVC_FUSED_FILTER: '0' off, '1' auto, 'all' every
-    supported level (also under interpret mode)."""
+    res-block stack VMEM-resident.  Measured on-chip at the production batch
+    (PERF.md round 3, batch 64 bf16): fused wins at every level it compiles —
+    W=256 8.2->0.97 ms/8-batch, and the W=128 levels 31.0->23.7 (P=8) and
+    67.8->26.5 ms (P=2); the packed XLA path scales superlinearly with batch
+    (HBM re-streaming) while the fused kernel stays linear.  'auto' therefore
+    fuses every supported level except P=16 (level 0), whose Mosaic compile
+    blows up (>10 min) — it stays packed.  ALIVEVC_FUSED_FILTER: '0' off,
+    '1' auto, 'all' every supported level (also under interpret mode)."""
     import os
 
     v = os.environ.get("ALIVEVC_FUSED_FILTER")
@@ -273,7 +276,8 @@ def _fused_filter_mode() -> str:
 
 def _filter_block_dispatch(pp, x, cond, p, c, r, b_out, k):
     mode = _fused_filter_mode()
-    if mode != "off" and (mode == "all" or p * c == 256):
+    if mode != "off" and (mode == "all" or p * c == 256 or
+                          (p * c == 128 and p <= 8)):
         from alivevc_tpu.kernels.filter_pallas import (
             fused_filter_block,
             fused_supported,

@@ -106,12 +106,15 @@ def main():
 
     def source_of(feats, f0):
         if use_pallas:
-            from alivevc_tpu.kernels.oscillator_pallas import harmonic_source_pallas
+            # mirror models/decoder.py:decoder(oscillator_impl='pallas'): the
+            # production offline path uses the Chebyshev-recurrence kernel
+            from alivevc_tpu.kernels.oscillator_pallas import (
+                harmonic_source_cheb_pallas,
+            )
 
-            mul = jnp.arange(1, cfg.num_harmonics + 1, dtype=jnp.float32)
             amps = jnp.exp(linear(dec_c["harmonic_oscillator"]["to_amps"], feats))
-            return harmonic_source_pallas(f0.astype(jnp.float32) * mul, amps,
-                                          cfg.sample_rate)
+            return harmonic_source_cheb_pallas(f0.astype(jnp.float32), amps,
+                                               cfg.sample_rate)
         from alivevc_tpu.models.decoder import harmonic_oscillator
 
         src, _ = harmonic_oscillator(dec_c["harmonic_oscillator"], feats, f0)

@@ -70,6 +70,22 @@ def main() -> int:
     err = np.abs(got - ref)
     record("knn_match", err.max(), (err / (np.abs(ref) + 1e-3)).max(), 5e-3)
 
+    # ---- bf16 fast path (subtiled packed-index extraction) ---------------
+    # approximate mode: assert *quality* — every returned neighbour's true
+    # fp32 cosine is within a small margin of the exact k-th best
+    from alivevc_tpu.kernels.knn_pallas import knn_topk_pallas as _topk
+
+    got_fv, got_fi = _topk(src, lib, 4, precision="default")
+    srcn = np.asarray(src) / np.linalg.norm(np.asarray(src), axis=1, keepdims=True)
+    libn = np.asarray(lib) / np.linalg.norm(np.asarray(lib), axis=1, keepdims=True)
+    sims_true = srcn @ libn.T
+    true_of_got = np.take_along_axis(sims_true, np.asarray(got_fi), axis=1)
+    kth = np.sort(sims_true, axis=1)[:, -4:][:, :1]
+    margin = float((kth - true_of_got).max())       # worst shortfall vs kth best
+    verr = np.abs(np.asarray(got_fv) - true_of_got)
+    record("knn_fast_bf16", max(margin, 0.0), verr.max(), 5e-3,
+           {"note": "quality margin vs exact kth-best (approx mode)"})
+
     # ---- penalty-column exclusion (sharded retrieval path) ---------------
     from alivevc_tpu.kernels.knn_pallas import knn_topk_pallas
     from alivevc_tpu.ops.knn import topk_cosine_chunked
