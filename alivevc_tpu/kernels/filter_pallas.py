@@ -110,8 +110,15 @@ def _choose_tb(b: int, p: int, r: int, w: int, hb: int,
     # VMEM budget: blocks (double-buffered) + the f32 value stack must fit
     # the 100 MB scope requested via CompilerParams (the f32 stack is ~16
     # [TBH,W] temps, the dominant term at large TB).
-    cap = (3200 if w <= 128 else 2400) if itemsize <= 2 else (
-        1600 if w <= 128 else 1200)
+    #
+    # W=128 levels are additionally capped near TB~1000: measured on-chip
+    # (batch 64 bf16) their runtime is flat across TB in [320, 1600]
+    # (level 0: 19.0-19.5 ms, level 1: 20.9-21.3 ms) while Mosaic compile
+    # time explodes with TB (4-13 s at TB<=1600 vs >10 min at the old
+    # waste-minimizing choice TB=3040).  W=256 keeps the large-tile search:
+    # level 3 measured 2x FASTER at TB=1520 than at TB=960 (PERF.md).
+    cap = (max(step, 1152) if w <= 128 else 2400) if itemsize <= 2 else (
+        max(step, 1152) if w <= 128 else 1200)
     best, best_cost = (0, 0), None
     for tb in range(step, cap + 1, step):
         if tb <= hb or tb < 2 * m:     # halo must fit in one prev tile;

@@ -263,9 +263,11 @@ def _fused_filter_mode() -> str:
     W=256 8.2->0.97 ms/8-batch, and the W=128 levels 31.0->23.7 (P=8) and
     67.8->26.5 ms (P=2); the packed XLA path scales superlinearly with batch
     (HBM re-streaming) while the fused kernel stays linear.  'auto' therefore
-    fuses every supported level except P=16 (level 0), whose Mosaic compile
-    blows up (>10 min) — it stays packed.  ALIVEVC_FUSED_FILTER: '0' off,
-    '1' auto, 'all' every supported level (also under interpret mode)."""
+    fuses every supported level; the W=128 time tile is capped near TB~1000
+    (kernels/filter_pallas._choose_tb), which keeps Mosaic compiles at
+    seconds (the old TB=3040 choice compiled >10 min at level 0) at no
+    measured runtime cost.  ALIVEVC_FUSED_FILTER: '0' off, '1' auto, 'all'
+    every supported level (also under interpret mode)."""
     import os
 
     v = os.environ.get("ALIVEVC_FUSED_FILTER")
@@ -276,8 +278,7 @@ def _fused_filter_mode() -> str:
 
 def _filter_block_dispatch(pp, x, cond, p, c, r, b_out, k):
     mode = _fused_filter_mode()
-    if mode != "off" and (mode == "all" or p * c == 256 or
-                          (p * c == 128 and p <= 8)):
+    if mode != "off" and (mode == "all" or p * c in (128, 256)):
         from alivevc_tpu.kernels.filter_pallas import (
             fused_filter_block,
             fused_supported,

@@ -70,6 +70,12 @@ def main():
            else [auto_tb if t == "auto" else int(t) for t in args.tbs.split(",")])
 
     for tb in tbs:
+        step = 8 * (r_film // p)
+        if tb % step or tb <= hb:
+            print(f"level={lvl} tb={tb}: SKIP (must be a multiple of {step} "
+                  f"and > halo {hb})", flush=True)
+            continue
+
         def scan_steps(x0, cc, k, tb=tb):
             def body(carry, _):
                 out = fused_filter_block(blk, carry, cc, p, c_lvl, r_film,
