@@ -195,9 +195,11 @@ def knn_topk_pallas(
     (which lives in [-1, 1]) while rows with penalty 0 keep their exact
     score.  Used by the sharded retrieval path to exclude padding rows.
 
-    precision: 'highest' → fp32 MXU passes (exact near-tie ranking, parity
-    with the fp32 reference); 'default' → single-pass bf16 operands with f32
-    accumulation (≈6x faster, can flip near-ties).
+    precision: 'highest' → 6-pass bf16 MXU (exact near-tie ranking, parity
+    with the fp32 reference); 'high' → 3-pass bf16x3 (~2x faster, scores
+    f32-faithful to ~1e-7, exact extraction); 'default' → single-pass bf16
+    operands with f32 accumulation + packed-index extraction (fastest, can
+    flip near-ties).
 
     The grid iterates library tiles fastest, so the library streams from HBM
     once per *query* tile — q_tile is therefore the library-bandwidth lever.
@@ -241,8 +243,14 @@ def knn_topk_pallas(
     lsp = src.shape[0]
     n_qt = lsp // q_tile
 
-    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.DEFAULT)
+    # 'highest' = 6-pass bf16 (exact fp32-faithful ranking, the parity
+    # contract); 'high' = 3-pass bf16x3 (~2x faster matmul, scores f32-
+    # faithful to ~1e-7 — near-tie flips orders rarer than bf16 mode's) with
+    # the exact extraction; 'default' = single-pass bf16 operands + packed
+    # extraction (the licensed approximate mode).
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH}.get(
+                precision, jax.lax.Precision.DEFAULT)
     if (precision == "default" and penalty is None and tile % 128 == 0
             and k <= 8):
         # approximate mode: packed-index extraction (3 VPU passes/iter);

@@ -131,17 +131,27 @@ def main():
     queries = batch * (window // 320)      # content frames per step
     src = jax.random.normal(jax.random.PRNGKey(5), (queries, 768), jnp.float32)
 
-    def knn_scan(src, tgt, k):
-        def body(carry, _):
-            out = match_features_pallas(carry, tgt, k=4)
-            bias = jnp.sum(out) * 1e-30
-            return src + bias, ()
-        carry, _ = jax.lax.scan(body, src, None, length=k)
-        return carry
+    def make_knn_scan(precision):
+        def knn_scan(src, tgt, k):
+            def body(carry, _):
+                out = match_features_pallas(carry, tgt, k=4, precision=precision)
+                bias = jnp.sum(out) * 1e-30
+                return src + bias, ()
+            carry, _ = jax.lax.scan(body, src, None, length=k)
+            return carry
+        return jax.jit(knn_scan, static_argnames=("k",))
 
-    jknn = jax.jit(knn_scan, static_argnames=("k",))
-    dt_knn = _timed_scan(jknn, (src, tgt), steps)
-    qps = queries / dt_knn
+    knn_qps = {}
+    for precision in ("highest", "high", "default"):
+        try:
+            dt_p = _timed_scan(make_knn_scan(precision), (src, tgt), steps)
+        except Exception as e:  # noqa: BLE001
+            print(f"knn/{precision} FAILED: {e}", file=sys.stderr)
+            continue
+        knn_qps[precision] = queries / dt_p
+        print(f"knn/{precision}: dt={dt_p*1e3:.2f} ms for {queries} queries "
+              f"= {queries/dt_p:,.0f} q/s", file=sys.stderr)
+    qps = knn_qps.get("highest", max(knn_qps.values(), default=0.0))
     print(
         json.dumps(
             {
@@ -152,7 +162,6 @@ def main():
             }
         )
     )
-    print(f"knn dt={dt_knn*1e3:.2f} ms for {queries} queries", file=sys.stderr)
 
     # ---- accuracy budget of the bf16 fast mode vs the exact fp32 path ----
     # The headline bf16 number is licensed by measuring what the
