@@ -177,7 +177,9 @@ def _knn_kernel(src_ref, lib_ref, out_v_ref, out_i_ref, vals_scr, idx_scr,
         out_i_ref[:] = idx_scr[:, :k]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "precision", "q_tile"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile", "precision", "q_tile", "extraction")
+)
 def knn_topk_pallas(
     source: jax.Array,     # [Ls, D] (not necessarily normalized)
     library: jax.Array,    # [Lr, D]
@@ -186,6 +188,7 @@ def knn_topk_pallas(
     precision: str = "highest",
     q_tile: int = 512,
     penalty: jax.Array | None = None,   # [Lr] additive score bias (see below)
+    extraction: str = "auto",           # 'auto' | 'packed' | 'exact'
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming fused top-k.  Returns (values [Ls, k], indices [Ls, k]).
 
@@ -196,10 +199,11 @@ def knn_topk_pallas(
     score.  Used by the sharded retrieval path to exclude padding rows.
 
     precision: 'highest' → 6-pass bf16 MXU (exact near-tie ranking, parity
-    with the fp32 reference); 'high' → 3-pass bf16x3 (~2x faster, scores
-    f32-faithful to ~1e-7, exact extraction); 'default' → single-pass bf16
-    operands with f32 accumulation + packed-index extraction (fastest, can
-    flip near-ties).
+    with the fp32 reference); 'high' → bf16x3 via operand widening (3 MXU
+    passes, scores f32-faithful to ~1e-7); 'default' → single-pass bf16
+    operands with f32 accumulation (fastest, can flip near-ties).  All
+    modes use the exact masked max/min extraction by default; the packed-
+    index extraction (extraction='packed') measured 3.6x slower on-chip.
 
     The grid iterates library tiles fastest, so the library streams from HBM
     once per *query* tile — q_tile is therefore the library-bandwidth lever.
@@ -231,6 +235,26 @@ def knn_topk_pallas(
         # run the MXU single-pass; the dot still accumulates in f32
         src = src.astype(jnp.bfloat16)
         library = library.astype(jnp.bfloat16)
+    elif precision == "high":
+        # Manual bf16x3: Mosaic rejects lax.Precision.HIGH, so widen the
+        # operands instead — with x = hi + lo (hi = bf16(x), lo = bf16
+        # residual), s·l ≈ s_hi·l_hi + s_hi·l_lo + s_lo·l_hi (the dropped
+        # lo·lo term is O(2^-16) relative).  Concatenating [s_hi, s_hi,
+        # s_lo] against [l_hi, l_lo, l_hi] computes exactly that sum in ONE
+        # single-pass-bf16 dot over a 3x feature dim: 3 MXU passes total,
+        # ~2x faster than the 6-pass HIGHEST emulation, scores f32-faithful
+        # to ~1e-7.  (Penalty column, if any, was appended above, so its
+        # hi+lo split rides along and sums back to the exact penalty.)
+        def split(x):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+
+        s_hi, s_lo = split(src)
+        l_hi, l_lo = split(library)
+        src = jnp.concatenate([s_hi, s_hi, s_lo], axis=1)
+        library = jnp.concatenate([l_hi, l_lo, l_hi], axis=1)
+        d *= 3
 
     q_tile = min(q_tile, -(-ls // 8) * 8)
     ls_pad = (-ls) % q_tile
@@ -244,15 +268,18 @@ def knn_topk_pallas(
     n_qt = lsp // q_tile
 
     # 'highest' = 6-pass bf16 (exact fp32-faithful ranking, the parity
-    # contract); 'high' = 3-pass bf16x3 (~2x faster matmul, scores f32-
-    # faithful to ~1e-7 — near-tie flips orders rarer than bf16 mode's) with
-    # the exact extraction; 'default' = single-pass bf16 operands + packed
-    # extraction (the licensed approximate mode).
-    prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH}.get(
-                precision, jax.lax.Precision.DEFAULT)
-    if (precision == "default" and penalty is None and tile % 128 == 0
-            and k <= 8):
+    # contract); 'high' = bf16x3 via the operand widening above (DEFAULT-
+    # precision dot over the 3x feature dim); 'default' = single-pass bf16.
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    if extraction == "auto":
+        # measured on-chip at the bench shape (scripts/bench_knn.py): the
+        # packed-index extraction is 3.6x SLOWER than the exact masked
+        # max/min extraction (189 vs 53 ms) — the [Ls, 128]-subtile loop
+        # defeats Mosaic's lane vectorization.  'exact' everywhere.
+        extraction = "exact"
+    if (extraction == "packed" and precision == "default" and penalty is None
+            and tile % 128 == 0 and k <= 8):
         # approximate mode: packed-index extraction (3 VPU passes/iter);
         # penalty-free only (scores must stay in [-1, 1] for the +2 shift)
         kern_fn = _knn_kernel_fast

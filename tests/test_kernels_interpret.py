@@ -65,6 +65,29 @@ def test_knn_kernel_interpret_bf16_fast_path():
     assert np.all(true_sims >= kth_best - 5e-3)
     # reported bf16 sims are close to the true fp32 sims of the same indices
     np.testing.assert_allclose(np.asarray(got_v), true_sims, atol=2e-2)
+    # the packed-index extraction variant (kept for reference; measured
+    # slower on-chip) must return the same quality
+    with pltpu.force_tpu_interpret_mode():
+        pk_v, pk_i = knn_topk_pallas(
+            src, lib, 4, tile=512, precision="default", extraction="packed"
+        )
+    pk_sims = np.take_along_axis(srcn @ libn.T, np.asarray(pk_i), axis=1)
+    assert np.all(pk_sims >= kth_best - 5e-3)
+
+
+def test_knn_kernel_interpret_high_precision():
+    """precision='high' (manual bf16x3 operand widening) must be f32-faithful:
+    exact index parity with the fp32 reference and scores within ~1e-5."""
+    rng = np.random.default_rng(11)
+    src = jnp.asarray(rng.standard_normal((64, 768)).astype(np.float32))
+    lib = jnp.asarray(rng.standard_normal((1024, 768)).astype(np.float32))
+    want_v, want_i = topk_cosine_chunked(src, lib, 4)
+    with pltpu.force_tpu_interpret_mode():
+        got_v, got_i = knn_topk_pallas(src, lib, 4, tile=512, precision="high")
+    np.testing.assert_array_equal(np.asarray(want_i), np.asarray(got_i))
+    np.testing.assert_allclose(
+        np.asarray(want_v), np.asarray(got_v), rtol=1e-4, atol=2e-5
+    )
 
 
 def test_stft_kernel_interpret():
