@@ -179,6 +179,13 @@ def _shift_mats(w3: jax.Array, p: int, dilation: int):
 # ---------------------------------------------------------------------------
 
 
+# Trace-time ablation switch for on-chip attribution benchmarks ONLY
+# (scripts/bench_fused_ablate.py): '' = production, 'nofilm' replaces the
+# FiLM interp with a constant, 'nogelu' replaces gelu with identity.
+# Ablated kernels compute the wrong function — never set outside a bench.
+_ABLATE = ""
+
+
 def _stack_kernel(
     xp_ref, xc_ref, fp_ref, fc_ref, fn_ref, wabc_ref, mats_ref, bias_ref,
     out_ref,
@@ -204,6 +211,8 @@ def _stack_kernel(
     off0 = ftb * m - hb
 
     def film(idx):
+        if "nofilm" in _ABLATE:
+            return fe[idx][:1, :1].astype(dt) * jnp.ones((tbh, w), dt)
         rows = fe[idx].astype(jnp.float32)                       # [3ftb, W]
         rep = jnp.broadcast_to(rows[:, None, :], (3 * ftb, m, w))
         rep = rep.reshape(3 * ftb * m, w)
@@ -211,6 +220,8 @@ def _stack_kernel(
         s1 = lax.slice(rep, (off0 + m, 0), (off0 + m + tbh, w))
         s2 = lax.slice(rep, (off0 + 2 * m, 0), (off0 + 2 * m + tbh, w))
         return (s0 * wa + s1 * wb + s2 * wc).astype(dt)
+
+    gelu_fn = (lambda v: v) if "nogelu" in _ABLATE else _gelu_erf
 
     def conv(v, ci):
         offs = conv_offs[ci]
@@ -229,10 +240,10 @@ def _stack_kernel(
     x = conv(zmask(xh), 0)                                        # input 1x1
     for i in range(n_res):
         res = x
-        h = _gelu_erf(x)
+        h = gelu_fn(x)
         h = zmask(h * film(4 * i) + film(4 * i + 1))
         h = conv(h, 1 + 2 * i)
-        h = _gelu_erf(h)
+        h = gelu_fn(h)
         h = zmask(h * film(4 * i + 2) + film(4 * i + 3))
         h = conv(h, 2 + 2 * i)
         x = res + h

@@ -92,7 +92,18 @@ def main():
 
         fp = walk(fp)
 
-    if args.variant == "packed":
+    if args.variant == "glue":
+        # time the U-Net *glue* alone (in/out convs, down/up rate convs, mid
+        # conv, skip adds): stub the per-level res-block stacks to identity
+        import alivevc_tpu.models.filter_packed as fpk
+
+        fpk._filter_block_dispatch = (
+            lambda pp, x, cond, p, c, r, b_out, k: x
+        )
+
+        def run(s, cc):
+            return fpk.filter_unet_packed(fp, s, cc, cfg)
+    elif args.variant == "packed":
         from alivevc_tpu.models.filter_packed import filter_unet_packed
 
         def run(s, cc):

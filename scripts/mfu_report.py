@@ -31,13 +31,13 @@ HBM = 819e9
 
 # measured ms from scripts/profile_stages.py --batch 64 --impl pallas
 # --dtype bf16 (deltas); refresh after kernel changes
-MEASURED_DEFAULT = {
-    "stft+f0": 5.7,
-    "content_encoder": 4.6,
-    "knn": 55.9,
-    "feature_extractor": 5.6,
-    "oscillator": 28.0,
-    "filter": 172.6,
+MEASURED_DEFAULT = {   # round-3 final (2026-08-19)
+    "stft+f0": 6.2,
+    "content_encoder": 4.1,
+    "knn": 55.7,
+    "feature_extractor": 6.0,
+    "oscillator": 6.2,
+    "filter": 111.3,
 }
 
 
