@@ -34,7 +34,10 @@ Key constructions
   halo is zero-masked before every conv, reproducing the XLA bulk path's
   shift-in-zeros; the reflect-pad head (first HB rows of the window) is then
   recomputed exactly by the XLA packed path and stitched (causality makes a
-  head-strip recompute exact).
+  head-strip recompute exact).  (A round-3 experiment replaced the second x
+  fetch with a VMEM scratch carry and lane-stacked the 12 FiLM tensors into
+  one contiguous DMA: measured NO faster at any W=128 level and 2-10x longer
+  Mosaic compiles, so the two-fetch layout stays.)
 * **FiLM in-kernel**: scale/shift are tiny at frame rate ([N, F, C], r =
   samples per frame, P | r).  The kernel receives edge-padded frame rows
   (lane-tiled to W) and expands them to sample rate with the torch
@@ -69,7 +72,8 @@ def _gelu_erf(x: jax.Array) -> jax.Array:
     """Exact-GELU with an in-kernel erf: Mosaic has no erf/erfc lowering, so
     use Abramowitz & Stegun 7.1.26 (|eps| <= 1.5e-7 absolute on erf, i.e.
     <= ~1e-7 * |x| on GELU — far below bf16 resolution and the fp32 parity
-    tolerances).  Computed in f32 regardless of activation dtype."""
+    tolerances).  Computed in f32 regardless of activation dtype (a bf16
+    variant measured NO faster on-chip — v5e VPU element ops don't pack)."""
     xf = x.astype(jnp.float32) * np.float32(1.0 / math.sqrt(2.0))
     s = jnp.sign(xf)
     ax = jnp.abs(xf)
@@ -202,6 +206,8 @@ def _stack_kernel(
     halo = lax.broadcasted_iota(jnp.int32, (tbh, 1), 0) < hb
 
     def zmask(v):
+        if "nozmask" in _ABLATE:
+            return v
         return jnp.where(jnp.logical_and(first, halo), jnp.zeros_like(v), v)
 
     fe = jnp.concatenate([fp_ref[0], fc_ref[0], fn_ref[0]], axis=1)  # [12,3ftb,W]
@@ -212,7 +218,8 @@ def _stack_kernel(
 
     def film(idx):
         if "nofilm" in _ABLATE:
-            return fe[idx][:1, :1].astype(dt) * jnp.ones((tbh, w), dt)
+            # [1, W] -> [TBH, W] is a sublane-only broadcast (Mosaic-legal)
+            return jnp.broadcast_to(fe[idx][:1].astype(dt), (tbh, w))
         rows = fe[idx].astype(jnp.float32)                       # [3ftb, W]
         rep = jnp.broadcast_to(rows[:, None, :], (3 * ftb, m, w))
         rep = rep.reshape(3 * ftb * m, w)
@@ -224,6 +231,8 @@ def _stack_kernel(
     gelu_fn = (lambda v: v) if "nogelu" in _ABLATE else _gelu_erf
 
     def conv(v, ci):
+        if "noconv" in _ABLATE:
+            return v + bias_ref[ci].astype(dt)
         offs = conv_offs[ci]
         smax = max(offs)
         vp = jnp.pad(v, ((smax, 0), (0, 0))) if smax else v

@@ -165,6 +165,12 @@ def _knn_kernel(src_ref, lib_ref, out_v_ref, out_i_ref, vals_scr, idx_scr,
     gidx = col + base
     sims = jnp.where(gidx < lr, sims, _NEG)
 
+    # single-stage: extract straight over the [Ls, TILE+k] carry concat.
+    # A two-stage variant (aligned [Ls, TILE] extraction + tiny [Ls, 2k]
+    # carry merge) measured +23 ms at the bench shape across ALL precision
+    # modes: the tiny merge's 16 narrow passes are latency-bound and add
+    # ~2 us to each of the ~11k grid steps, dwarfing what the aligned width
+    # saves.  Fewer passes beats aligned lanes here.
     comb_v = jnp.concatenate([vals_scr[:, :k], sims], axis=1)
     comb_i = jnp.concatenate([idx_scr[:, :k], gidx], axis=1)
     new_v, new_i = _extract_topk(comb_v, comb_i, k)
