@@ -16,6 +16,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweep", action="store_true",
+                    help="sweep (q_tile, tile) geometries instead of the "
+                         "precision x extraction matrix")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -30,11 +38,12 @@ def main():
     src = jax.random.normal(jax.random.PRNGKey(5), (queries, d), jnp.float32)
     tgt = jax.random.normal(jax.random.PRNGKey(7), (lib, d), jnp.float32)
 
-    def timed(precision, extraction):
+    def timed(precision, extraction, q_tile=512, tile=512):
         def scan_fn(src, tgt, n):
             def body(carry, _):
                 v, i = knn_topk_pallas(
-                    carry, tgt, k=k, precision=precision, extraction=extraction
+                    carry, tgt, k=k, precision=precision, extraction=extraction,
+                    q_tile=q_tile, tile=tile,
                 )
                 bias = jnp.sum(v) * 1e-30 + jnp.sum(i).astype(jnp.float32) * 1e-30
                 return src + bias, ()
@@ -51,6 +60,23 @@ def main():
         float(jnp.sum(jfn(src, tgt, steps)))
         dt1 = time.perf_counter() - t0
         return (dt1 - dt0) / (steps - 1)
+
+    if args.sweep:
+        for q_tile, tile in ((512, 512), (1024, 512), (2048, 512),
+                             (1024, 1024), (2048, 1024)):
+            for precision in ("default",):
+                try:
+                    dt = timed(precision, "exact", q_tile, tile)
+                except Exception as e:  # noqa: BLE001
+                    print(f"q_tile={q_tile} tile={tile} {precision} FAILED: "
+                          f"{type(e).__name__}", flush=True)
+                    continue
+                print(
+                    f"knn q_tile={q_tile:5d} tile={tile:5d} {precision:8s} "
+                    f"dt={dt*1e3:8.2f} ms  {queries/dt:,.0f} q/s",
+                    flush=True,
+                )
+        return
 
     for precision in ("default", "high", "highest"):
         for extraction in ("packed", "exact"):
