@@ -113,7 +113,7 @@ def _osc_kernel(
 
 def _osc_cheb_kernel(
     f0a_ref, f0b_ref, f0c_ref, a0_ref, a1_ref, a2_ref, w_ref, ws_ref,
-    out_ref, carry_scr, base_scr, *, ft: int, seg: int, nh: int
+    out_ref, carry_scr, *, ft: int, seg: int, nh: int
 ):
     """Chebyshev-recurrence variant: only the FUNDAMENTAL phase is mixed and
     prefix-summed; harmonic k's waveform comes from the second-order linear
@@ -143,11 +143,14 @@ def _osc_cheb_kernel(
     fa, fb, fc = f0a_ref[0], f0b_ref[0], f0c_ref[0]        # [ft, 1] each
     cseg = (fa * ws[0:1, :] + fb * ws[1:2, :] + fc * ws[2:3, :])   # [ft, seg]
     totals = cseg[:, seg - 1 : seg]                        # [ft, 1]
-    run = jnp.zeros((1, 1), jnp.float32)
-    for q in range(ft):
-        base_scr[q : q + 1, :] = run
-        run = run + totals[q : q + 1, :]
-    base = base_scr[:]                                     # [ft, 1]
+    # exclusive prefix over the tile's frame totals as one strictly-lower-
+    # triangular MXU matmul (a sequential ft-step scalar loop serializes the
+    # kernel at large ft; HIGHEST keeps the f32 phase exact)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (ft, ft), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (ft, ft), 1)
+    tri = (ci < ri).astype(jnp.float32)
+    base = jax.lax.dot(tri, totals, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # [ft, 1]
 
     @pl.when(t == 0)
     def _():
@@ -234,7 +237,6 @@ def harmonic_source_cheb_pallas(
         out_shape=jax.ShapeDtypeStruct((n, n_tiles * ft, seg), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((1, 2), jnp.float32),
-            pltpu.VMEM((ft, 1), jnp.float32),
         ],
     )(f0a, f0b, f0c, a0, a1, a2, jnp.asarray(w_np), jnp.asarray(ws_np))
     return out.reshape(n, n_tiles * ft * seg)[:, : lf * seg, None]

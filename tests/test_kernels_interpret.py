@@ -99,6 +99,29 @@ def test_stft_kernel_interpret():
     np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("frame_tile", [8, 32])
+def test_oscillator_cheb_kernel_interpret(frame_tile):
+    """Chebyshev-recurrence kernel vs the XLA oscillator, multi-tile (lf >
+    frame_tile) so the inter-tile phase carry and the triangular-matmul
+    frame-prefix are both exercised."""
+    from alivevc_tpu.kernels.oscillator_pallas import harmonic_source_cheb_pallas
+
+    rng = np.random.default_rng(7)
+    lf = 70                       # 9 tiles at ft=8, 3 at ft=32 (with pad)
+    feats = rng.standard_normal((2, lf, 512)).astype(np.float32)
+    f0 = (rng.random((2, lf, 1)) * 300 + 80).astype(np.float32)
+    w = jnp.asarray(rng.standard_normal((512, 64)).astype(np.float32)) * 0.05
+    params = {"to_amps": {"w": w, "b": jnp.zeros(64)}}
+    want, _ = harmonic_oscillator(params, jnp.asarray(feats), jnp.asarray(f0))
+    amps = jnp.exp(jnp.asarray(feats) @ w)
+    with pltpu.force_tpu_interpret_mode():
+        got = harmonic_source_cheb_pallas(jnp.asarray(f0), amps,
+                                          frame_tile=frame_tile)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=1e-3, atol=2e-2
+    )
+
+
 def test_oscillator_kernel_interpret():
     rng = np.random.default_rng(2)
     lf = 20
