@@ -33,7 +33,9 @@ from alivevc_tpu.ops.resample import resample
 from alivevc_tpu.ops.stft import spectrogram
 
 
-@functools.partial(jax.jit, static_argnames=("k", "dec_cfg", "impl", "dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "dec_cfg", "impl", "dtype", "knn_precision")
+)
 def convert_window(
     ce_params,
     f0_params,
@@ -49,11 +51,18 @@ def convert_window(
     impl: str = "xla",
     f0_override=None,        # [N, T, 1] Hz — WORLD pitch (-wpe), bypasses the estimator
     dtype: str = "fp32",     # 'bf16' halves HBM traffic of the conv/elementwise path
+    knn_precision: Optional[str] = None,   # None → 'default' (bf16) / 'high' (fp32)
 ) -> jax.Array:
     """Convert a batch of 16 kHz windows; returns [N, Lw] converted audio.
 
     impl='pallas' routes the STFT front end, the library top-k, and the
     oscillator source through the hand-written TPU kernels (kernels/).
+
+    knn_precision picks the Pallas kNN matmul mode (kernels/knn_pallas.py):
+    the fp32 path defaults to 'high' (bf16x3 operand widening — scores
+    f32-faithful to ~1e-7, 3 MXU passes, ~2x faster than the 6-pass
+    'highest' emulation); pass 'highest' explicitly for bit-exact fp32
+    ranking (the strict parity contract of module/common.py:96-109).
     """
     if dtype == "bf16":
         ce_params = jax.tree_util.tree_map(
@@ -83,9 +92,10 @@ def convert_window(
 
         # bf16 fast mode also runs the library match single-pass bf16 (the
         # mode is already an approximation; near-tie ranking may flip)
+        if knn_precision is None:
+            knn_precision = "default" if dtype == "bf16" else "high"
         feat = match_features_pallas_batched(
-            feat, tgt, k=k, alpha=alpha,
-            precision="default" if dtype == "bf16" else "highest",
+            feat, tgt, k=k, alpha=alpha, precision=knn_precision,
         )
     elif tgt.shape[0] > 16_384:
         # large library: stream the reference in chunks instead of
@@ -144,10 +154,12 @@ class OfflineConverter:
         impl: str = "xla",
         world_pitch: bool = False,
         dtype: str = "fp32",
+        knn_precision: Optional[str] = None,
     ):
         self.world_pitch = world_pitch
         self.impl = impl
         self.dtype = dtype
+        self.knn_precision = knn_precision
         self.ce = ce_params
         self.f0 = f0_params
         self.dec = dec_params
@@ -198,6 +210,7 @@ class OfflineConverter:
                 cfg.f0_rate, cfg.pitch_shift, cfg.intonation, cfg.k, cfg.alpha,
                 self.dec_cfg, self.impl,
                 None if f0_b is None else jnp.asarray(f0_b), self.dtype,
+                self.knn_precision,
             )
             outs.append(np.asarray(got)[:n_real])
         out = np.concatenate(outs)[:, c:-c].reshape(-1)[:total]

@@ -86,111 +86,6 @@ def _pack_topk(sims, base, k: int):
     return jnp.concatenate(vals, axis=1), jnp.concatenate(idxs, axis=1)
 
 
-def _knn_kernel_gpack(src_ref, lib_ref, out_v_ref, out_i_ref, scr_ref,
-                      *, k: int, tile: int, lr: int, precision):
-    """bf16 fast-path kernel, full-tile index packing (no subtile loop).
-
-    The earlier packed-index variant (_knn_kernel_fast) measured 3.6x slower
-    than exact extraction because its per-128-column subtile loop defeated
-    Mosaic's full-lane vectorization.  This variant packs the whole TILE's
-    column index into the low ceil(log2(tile+pad)) mantissa bits in one
-    full-width pass, so every reduction stays [Ls, tile]-wide:
-
-      per top-k iteration = 1 max-reduce + 1 compare + 1 select (3 VPU
-      passes) vs the exact path's 6, and the carry is k packed floats —
-      no int32 index stream, no [Ls, tile+k] concat of two streams.
-
-    Packing cost: low bits carry (tile+k rounded up to a power of two)
-    indices — 10 bits at tile=512 — perturbing the +2-shifted score by
-    <= 2^10 * 2 * 2^-23 = 2.4e-4 on the cosine scale, the same order as the
-    ~1e-4 noise the bf16 operands already inject.  Licensed ONLY for the
-    approximate 'default' mode (penalty-free: scores must be in [-1, 1]).
-    Ties prefer the smaller global index across the whole stream: low bits
-    hold (mask - local_idx) and the carry re-packs OLD winners with their
-    age-discounted slot, see below.
-    """
-    t = pl.program_id(1)
-    nt = pl.num_programs(1)
-
-    # low-bit field: local column plus k carry slots, power-of-two mask
-    nbits = max(tile + k - 1, 1).bit_length()
-    mask = jnp.int32((1 << nbits) - 1)
-
-    @pl.when(t == 0)
-    def _():
-        # packed NEG values with low bits = 0 (index decodes to a sentinel)
-        scr_ref[:] = jnp.full_like(scr_ref, _NEG)
-
-    sims = jax.lax.dot_general(
-        src_ref[:], lib_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )                                                                  # [Ls, TILE]
-    base = t * tile
-    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-    if lr % tile:
-        sims = jnp.where(col + base < lr, sims, jnp.float32(-2.0))
-
-    # pack: overwrite low nbits with (mask - (col + k)) so larger packed
-    # floats win on value first, then on SMALLER column; carry slots get the
-    # k largest low-bit codes (mask - 0 .. mask - (k-1)) so an equal-valued
-    # carry (an earlier tile's winner) beats any current column — global
-    # smallest-index tie-breaking across tiles.
-    bits = jax.lax.bitcast_convert_type(sims + _SHIFT, jnp.int32)
-    packed = jax.lax.bitcast_convert_type(
-        jnp.bitwise_or(jnp.bitwise_and(bits, ~mask), mask - (col + k)),
-        jnp.float32,
-    )
-    ls = sims.shape[0]
-
-    # carry slots (already packed, low bits = slot code) ride in the first k
-    # columns of the scratch; concat once (single stream, k columns)
-    comb = jnp.concatenate([scr_ref[:, :k], packed], axis=1)   # [Ls, k+tile]
-    outs = []
-    for j in range(k):
-        m = jnp.max(comb, axis=1, keepdims=True)               # [Ls, 1]
-        outs.append(m)
-        comb = jnp.where(comb == m, _NEG, comb)
-
-    # decode local field; re-encode value with slot code j (ties must keep
-    # preferring earlier tiles next round), store global index in scratch
-    for j, m in enumerate(outs):
-        mb = jax.lax.bitcast_convert_type(m, jnp.int32)
-        localf = mask - jnp.bitwise_and(mb, mask)              # col+k, or slot
-        is_carry = localf < k
-        gidx = jnp.where(is_carry,
-                         jax.lax.bitcast_convert_type(
-                             scr_ref[:, k + 16 * 0 + j][:, None], jnp.int32)
-                         if False else 0,
-                         base + localf - k)
-        repacked = jax.lax.bitcast_convert_type(
-            jnp.bitwise_or(jnp.bitwise_and(mb, ~mask), mask - j), jnp.float32
-        )
-        scr_ref[:, j : j + 1] = repacked
-        # global index: previous winners keep their stored index
-        old = scr_ref[:, 2 * k + j : 2 * k + j + 1]
-        oldi = jax.lax.bitcast_convert_type(old, jnp.int32)
-        newi = jnp.where(is_carry, oldi, gidx)
-        scr_ref[:, 2 * k + j : 2 * k + j + 1] = jax.lax.bitcast_convert_type(
-            newi, jnp.float32
-        )
-
-    @pl.when(t == nt - 1)
-    def _():
-        vals = jnp.concatenate(
-            [scr_ref[:, j : j + 1] for j in range(k)], axis=1
-        )
-        out_v_ref[:] = vals - _SHIFT
-        out_i_ref[:] = jax.lax.bitcast_convert_type(
-            jnp.concatenate(
-                [scr_ref[:, 2 * k + j : 2 * k + j + 1] for j in range(k)],
-                axis=1,
-            ),
-            jnp.int32,
-        )
-
-
 def _knn_kernel_fast(src_ref, lib_ref, out_v_ref, out_i_ref, vals_scr, idx_scr,
                      *, k: int, tile: int, lr: int, precision):
     """bf16 fast-path kernel: packed subtile-local top-k (3 passes/iter over

@@ -10,39 +10,76 @@ overhead and its block_until_ready returns at dispatch, so K chained steps
 run inside ONE jit (lax.scan) with a single host fetch; per-step time is
 (t_K - t_1)/(K - 1), which cancels both the dispatch overhead and the fetch.
 
-Prints JSON lines; the FIRST is the headline metric (audio-seconds processed
-per wall-clock second on this chip).  ``vs_baseline`` compares against the
-north-star RTF<0.05 target *interpreted per chip on a v5e-16* (20 audio-s/s
-aggregate → 1.25 audio-s/s per chip).  A second line reports fused-kNN
-queries/s against the 100k-frame library.
+Output contract (driver parses the LAST JSON line in the tail): exactly one
+metric is emitted as JSON — the headline audio-seconds/s of the pallas/bf16
+fast mode — and it is printed BOTH as soon as it is first measured (a
+conservative single-dispatch estimate, so an early timeout still records a
+headline) and again, refined, at every later stage.  All secondary metrics
+(fp32 exact path, kNN modes, bf16 accuracy license) print as plain text so
+they can never shadow the headline in the driver's parser.  ``vs_baseline``
+compares against the north-star RTF<0.05 target *interpreted per chip on a
+v5e-16* (20 audio-s/s aggregate → 1.25 audio-s/s per chip).
+
+Round-3 post-mortem (VERDICT item 1): the r3 bench compiled ≥12 programs
+before its first JSON line and the driver budget expired → rc=124,
+parsed=null, headline lost.  This layout front-loads the single headline
+variant and makes every later stage optional-on-time.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
 
 import numpy as np
 
+PER_CHIP_TARGET = 20.0 / 16.0   # RTF 0.05 → 20 audio-s/s aggregate on 16 chips
 
-def _timed_scan(jfn, args, k):
-    """Run jfn(*args, steps) for steps in {1, k}; overhead-cancelled per-step s."""
+
+def _emit_headline(asps: float) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "offline_vc_audio_seconds_per_s_per_chip",
+                "value": round(asps, 3),
+                "unit": "audio-s/s",
+                "vs_baseline": round(asps / PER_CHIP_TARGET, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _run_once(jfn, args, k):
+    """One timed dispatch+fetch of the K-step scan (includes tunnel overhead)."""
     import jax.numpy as jnp
 
-    float(jnp.sum(jfn(*args, 1).astype(jnp.float32)))      # compile K=1
-    float(jnp.sum(jfn(*args, k).astype(jnp.float32)))      # compile K
-    t0 = time.perf_counter()
-    float(jnp.sum(jfn(*args, 1).astype(jnp.float32)))
-    dt0 = time.perf_counter() - t0
     t0 = time.perf_counter()
     float(jnp.sum(jfn(*args, k).astype(jnp.float32)))
-    dt1 = time.perf_counter() - t0
-    return (dt1 - dt0) / (k - 1)
+    return time.perf_counter() - t0
+
+
+def _timed_scan(jfn, args, k, t1=None):
+    """Overhead-cancelled per-step seconds: (t_K - t_1)/(K - 1)."""
+    if t1 is None:
+        _run_once(jfn, args, 1)          # compile K=1
+        t1 = _run_once(jfn, args, 1)
+    _run_once(jfn, args, k)              # compile K
+    tk = _run_once(jfn, args, k)
+    return (tk - t1) / (k - 1)
 
 
 def main():
     import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--xla", action="store_true",
+                    help="also time the pure-XLA fp32 sanity variant")
+    ap.add_argument("--skip-secondary", action="store_true",
+                    help="headline only (fastest possible run)")
+    flags = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
@@ -61,6 +98,7 @@ def main():
     batch = 64               # BASELINE config #3: 64-utterance batches
     library_frames = 100_000
     steps = 6                # chained steps inside one jit
+    audio_s = batch * chunk / 16_000.0   # kept audio per step (overlap-discard)
 
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
     ce = init_content_encoder(k1)
@@ -78,102 +116,91 @@ def main():
     )
     x = jnp.asarray(waves)
 
-    def make_scan(impl, dtype):
+    def make_scan(impl, dtype, knn_precision=None):
         def scan_fn(x, tgt, k):
             def body(carry, _):
-                out = convert_window(ce, pe, dec, carry, tgt, impl=impl, dtype=dtype)
+                out = convert_window(ce, pe, dec, carry, tgt, impl=impl,
+                                     dtype=dtype, knn_precision=knn_precision)
                 bias = (jnp.sum(out) * 1e-30).astype(x.dtype)
                 return x + bias, ()
             carry, _ = jax.lax.scan(body, x, None, length=k)
             return carry
         return jax.jit(scan_fn, static_argnames=("k",))
 
-    times = {}
-    for impl, dtype in (("xla", "fp32"), ("pallas", "fp32"), ("pallas", "bf16")):
-        # one variant failing to compile must not sink the whole benchmark —
-        # report the best variant that runs
+    # ---- STAGE 1: headline variant (pallas/bf16), emitted ASAP ----------
+    bf16 = make_scan("pallas", "bf16")
+    _run_once(bf16, (x, tgt), 1)                       # compile K=1
+    t1 = _run_once(bf16, (x, tgt), 1)
+    # conservative provisional headline: single-step time still carries the
+    # full dispatch+fetch overhead, so this UNDER-estimates throughput — but
+    # it exists after one compiled program, before any further compiles.
+    _emit_headline(audio_s / t1)
+    dt_bf16 = _timed_scan(bf16, (x, tgt), steps, t1=t1)
+    asps = audio_s / dt_bf16
+    print(f"impl=pallas/bf16 dt={dt_bf16:.4f}s/step rtf={dt_bf16/audio_s:.5f} "
+          f"windows/step={batch} window_s=9 library={library_frames}",
+          file=sys.stderr)
+    _emit_headline(asps)
+    if flags.skip_secondary:
+        return
+
+    times = {("pallas", "bf16"): dt_bf16}
+
+    # ---- STAGE 2: exact-ranking fp32 path (kNN 'high': f32-faithful) ----
+    def secondary(impl, dtype, label):
         try:
             dt = _timed_scan(make_scan(impl, dtype), (x, tgt), steps)
         except Exception as e:  # noqa: BLE001
-            print(f"impl={impl}/{dtype} FAILED: {e}", file=sys.stderr)
-            continue
+            print(f"impl={label} FAILED: {e}", file=sys.stderr)
+            return
         times[(impl, dtype)] = dt
-        print(f"impl={impl}/{dtype} dt={dt:.4f}s/step", file=sys.stderr)
-    if not times:
-        raise SystemExit("all bench variants failed")
-    dt = min(times.values())
+        print(f"metric offline_vc_audio_s_per_s[{label}] = "
+              f"{audio_s / dt:.1f} audio-s/s ({dt:.4f} s/step)", file=sys.stderr)
+        _emit_headline(asps)     # keep the headline the last JSON line
 
-    # each window contributes `chunk` kept samples (overlap-discard), but the
-    # compute cost is the full window; report *kept* audio per second — the
-    # user-facing conversion throughput.
-    audio_s = batch * chunk / 16_000.0
-    asps = audio_s / dt
-    rtf = 1.0 / asps
-    per_chip_target = 20.0 / 16.0  # RTF 0.05 → 20 audio-s/s on 16 chips
-    print(
-        json.dumps(
-            {
-                "metric": "offline_vc_audio_seconds_per_s_per_chip",
-                "value": round(asps, 3),
-                "unit": "audio-s/s",
-                "vs_baseline": round(asps / per_chip_target, 3),
-            }
-        )
-    )
-    print(
-        f"rtf={rtf:.5f} windows/step={batch} window_s=9 library={library_frames}",
-        file=sys.stderr,
-    )
+    secondary("pallas", "fp32", "pallas/fp32+knn-high")
+    if flags.xla:
+        secondary("xla", "fp32", "xla/fp32")
 
-    # ---- kNN queries/s against the 100k library (fused Pallas kernel) ----
-    from alivevc_tpu.kernels.knn_pallas import match_features_pallas
+    # ---- STAGE 3: kNN queries/s against the 100k library ----------------
+    try:
+        from alivevc_tpu.kernels.knn_pallas import match_features_pallas
 
-    queries = batch * (window // 320)      # content frames per step
-    src = jax.random.normal(jax.random.PRNGKey(5), (queries, 768), jnp.float32)
+        queries = batch * (window // 320)      # content frames per step
+        src = jax.random.normal(jax.random.PRNGKey(5), (queries, 768), jnp.float32)
 
-    def make_knn_scan(precision):
-        def knn_scan(src, tgt, k):
-            def body(carry, _):
-                out = match_features_pallas(carry, tgt, k=4, precision=precision)
-                bias = jnp.sum(out) * 1e-30
-                return src + bias, ()
-            carry, _ = jax.lax.scan(body, src, None, length=k)
-            return carry
-        return jax.jit(knn_scan, static_argnames=("k",))
+        def make_knn_scan(precision):
+            def knn_scan(src, tgt, k):
+                def body(carry, _):
+                    out = match_features_pallas(carry, tgt, k=4, precision=precision)
+                    bias = jnp.sum(out) * 1e-30
+                    return src + bias, ()
+                carry, _ = jax.lax.scan(body, src, None, length=k)
+                return carry
+            return jax.jit(knn_scan, static_argnames=("k",))
 
-    knn_qps = {}
-    for precision in ("highest", "high", "default"):
-        try:
+        for precision in ("default", "high", "highest"):
             dt_p = _timed_scan(make_knn_scan(precision), (src, tgt), steps)
-        except Exception as e:  # noqa: BLE001
-            print(f"knn/{precision} FAILED: {e}", file=sys.stderr)
-            continue
-        knn_qps[precision] = queries / dt_p
-        print(f"knn/{precision}: dt={dt_p*1e3:.2f} ms for {queries} queries "
-              f"= {queries/dt_p:,.0f} q/s", file=sys.stderr)
-    qps = knn_qps.get("highest", max(knn_qps.values(), default=0.0))
-    print(
-        json.dumps(
-            {
-                "metric": "knn_queries_per_s_100k_library",
-                "value": round(qps, 1),
-                "unit": "queries/s",
-                "vs_baseline": None,
-            }
-        )
-    )
+            print(f"metric knn_queries_per_s_100k[{precision}] = "
+                  f"{queries / dt_p:,.0f} q/s ({dt_p*1e3:.2f} ms for "
+                  f"{queries} queries)", file=sys.stderr)
+            _emit_headline(asps)
+    except Exception as e:  # noqa: BLE001
+        print(f"knn section FAILED: {e}", file=sys.stderr)
 
-    # ---- accuracy budget of the bf16 fast mode vs the exact fp32 path ----
-    # The headline bf16 number is licensed by measuring what the
-    # approximation does to the OUTPUT: e2e mel-L1 / waveform distance
-    # between pallas/bf16 and pallas/fp32 on fixed utterances, plus the
-    # top-k set flip rate of the single-pass bf16 kNN at the 100k library.
-    if ("pallas", "fp32") in times and ("pallas", "bf16") in times:
+    # ---- STAGE 4: accuracy budget of the bf16 fast mode vs fp32 ---------
+    # The bf16 headline is licensed by measuring what the approximation does
+    # to the OUTPUT.  The same bounds are enforced as a pytest regression
+    # gate (tests/test_bf16_license.py); this section reports the live
+    # numbers next to the throughput they license.
+    try:
         from alivevc_tpu.kernels.knn_pallas import knn_topk_pallas
-        from alivevc_tpu.ops.stft import log_mel_spectrogram
+        from alivevc_tpu.models.content_encoder import content_encoder
+        from alivevc_tpu.ops.stft import log_mel_spectrogram, spectrogram
 
         xa = x[:8]
-        out32 = convert_window(ce, pe, dec, xa, tgt, impl="pallas", dtype="fp32")
+        out32 = convert_window(ce, pe, dec, xa, tgt, impl="pallas",
+                               dtype="fp32", knn_precision="highest")
         out16 = convert_window(ce, pe, dec, xa, tgt, impl="pallas", dtype="bf16")
         mel_l1 = float(
             jnp.mean(jnp.abs(log_mel_spectrogram(out16) - log_mel_spectrogram(out32)))
@@ -181,44 +208,20 @@ def main():
         wav_rel_l2 = float(
             jnp.linalg.norm(out16 - out32) / jnp.maximum(jnp.linalg.norm(out32), 1e-9)
         )
-
-        # kNN flip rate: same real content features through both precisions
-        from alivevc_tpu.models.content_encoder import content_encoder
-        from alivevc_tpu.ops.stft import spectrogram
-
         feat = content_encoder(ce, spectrogram(xa)).reshape(-1, 768)
         _, idx32 = knn_topk_pallas(feat, tgt, k=4, precision="highest")
         _, idx16 = knn_topk_pallas(feat, tgt, k=4, precision="default")
         flips = jnp.any(jnp.sort(idx32, axis=1) != jnp.sort(idx16, axis=1), axis=1)
         flip_rate = float(jnp.mean(flips.astype(jnp.float32)))
+        print(f"metric bf16_mode_mel_l1_vs_fp32 = {mel_l1:.5f} log-mel L1; "
+              f"wav_rel_l2 = {wav_rel_l2:.5f}; "
+              f"metric bf16_mode_knn_topk_flip_rate_100k = {flip_rate:.5f}",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"accuracy section FAILED: {e}", file=sys.stderr)
 
-        print(
-            json.dumps(
-                {
-                    "metric": "bf16_mode_mel_l1_vs_fp32",
-                    "value": round(mel_l1, 6),
-                    "unit": "log-mel L1",
-                    "vs_baseline": None,
-                }
-            )
-        )
-        print(
-            json.dumps(
-                {
-                    "metric": "bf16_mode_knn_topk_flip_rate_100k",
-                    "value": round(flip_rate, 6),
-                    "unit": "fraction of queries",
-                    "vs_baseline": None,
-                }
-            )
-        )
-        print(
-            f"bf16-mode accuracy: mel_l1={mel_l1:.5f} wav_rel_l2={wav_rel_l2:.5f} "
-            f"knn_flip_rate={flip_rate:.5f} (exact fp32 path: "
-            f"{times[('pallas', 'fp32')]:.4f}s/step, bf16 fast path: "
-            f"{times[('pallas', 'bf16')]:.4f}s/step)",
-            file=sys.stderr,
-        )
+    # the headline is always the last JSON line the driver sees
+    _emit_headline(asps)
 
 
 if __name__ == "__main__":
