@@ -47,7 +47,9 @@ def init_stream_state(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "dec_cfg", "k"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "dec_cfg", "k"), donate_argnums=(3,)
+)
 def streaming_step(
     ce_params,
     f0_params,
@@ -89,7 +91,16 @@ def streaming_step(
 
 class StreamingConverter:
     """Host-side wrapper holding params/state; feed 16 kHz chunks, get 16 kHz
-    converted chunks with ``buffer_size/2`` chunks of latency."""
+    converted chunks with ``buffer_size/2`` chunks of latency.
+
+    pipeline_depth=1 overlaps the device round-trip with real time: each
+    ``process_chunk`` dispatches hop N, starts an asynchronous device→host
+    copy of its output, and returns hop N-1's (already transferred) chunk —
+    the per-hop host cost drops from a full dispatch+fetch round trip to the
+    dispatch alone, at the price of one extra ``chunk`` (60 ms) of
+    algorithmic latency.  The first call returns silence.  pipeline_depth=0
+    keeps the reference's synchronous loop semantics
+    (realtime_inference.py:122-190)."""
 
     def __init__(
         self,
@@ -100,16 +111,20 @@ class StreamingConverter:
         cfg: StreamingConfig = StreamingConfig(),
         dec_cfg: DecoderConfig = DecoderConfig(),
         world_pitch: bool = False,
+        pipeline_depth: int = 0,
     ):
         self.ce, self.f0, self.dec = ce_params, f0_params, dec_params
         self.tgt = tgt
         self.cfg = cfg
         self.dec_cfg = dec_cfg
         self.world_pitch = world_pitch
+        self.pipeline_depth = pipeline_depth
         self.state = init_stream_state(cfg, dec_cfg)
+        self._pending = []      # device arrays awaiting their async host copy
 
     def reset(self):
         self.state = init_stream_state(self.cfg, self.dec_cfg)
+        self._pending = []
 
     def prime(self, samples: np.ndarray) -> None:
         """Fill the rolling analysis window without converting.
@@ -141,4 +156,20 @@ class StreamingConverter:
             self.cfg.f0_rate, self.cfg.pitch_shift, self.cfg.k, self.cfg.alpha,
             self.cfg, self.dec_cfg, f0_override,
         )
-        return np.asarray(out)
+        if self.pipeline_depth <= 0:
+            return np.asarray(out)
+        # pipelined: start the D2H copy now, hand back the previous hop
+        try:
+            out.copy_to_host_async()
+        except AttributeError:      # older jax array types
+            pass
+        self._pending.append(out)
+        if len(self._pending) <= self.pipeline_depth:
+            return np.zeros(self.cfg.chunk, np.float32)
+        return np.asarray(self._pending.pop(0))
+
+    def flush(self) -> list:
+        """Drain pipelined hops still in flight (returns [] in sync mode)."""
+        outs = [np.asarray(o) for o in self._pending]
+        self._pending = []
+        return outs

@@ -69,6 +69,21 @@ def main():
     lat_ms = np.asarray(lat) * 1000.0
     hop_ms = args.chunk / 16.0
 
+    # ---- pipelined mode (depth 1): dispatch hop N, fetch hop N-1 ---------
+    # The per-hop wall time drops from a full tunnel round trip to the
+    # dispatch alone (the D2H copy of the previous hop is already done by
+    # the time we ask for it), at +1 hop of algorithmic latency.
+    pconv = StreamingConverter(ce, pe, dec, tgt, cfg, pipeline_depth=1)
+    pconv.process_chunk(chunk)   # warm (same compiled program)
+    pconv.process_chunk(chunk)
+    plat = []
+    for _ in range(args.hops):
+        t0 = time.perf_counter()
+        pconv.process_chunk(chunk)
+        plat.append(time.perf_counter() - t0)
+    pconv.flush()
+    plat_ms = np.asarray(plat) * 1000.0
+
     # ---- device-compute per hop: K chained hops inside one jit -----------
     def hops_scan(state, chunk, tgt, k):
         def body(carry, _):
@@ -91,14 +106,22 @@ def main():
     dt1 = time.perf_counter() - t0
     dev_ms = (dt1 - dt0) / (ks - 1) * 1000.0
 
+    # headline keys = the deployable pipelined mode (depth 1, +1 hop of
+    # algorithmic latency); sync_* keys = the reference-shaped synchronous
+    # loop paying a full dispatch+fetch round trip per hop.
     print(json.dumps({
         "hop_ms": hop_ms,
-        "median_latency_ms": round(float(np.median(lat_ms)), 2),
-        "p95_latency_ms": round(float(np.quantile(lat_ms, 0.95)), 2),
+        "pipeline_depth": 1,
+        "median_latency_ms": round(float(np.median(plat_ms)), 2),
+        "p95_latency_ms": round(float(np.quantile(plat_ms, 0.95)), 2),
+        "sync_median_latency_ms": round(float(np.median(lat_ms)), 2),
+        "sync_p95_latency_ms": round(float(np.quantile(lat_ms, 0.95)), 2),
         "device_compute_ms_per_hop": round(dev_ms, 2),
-        "realtime_ok": bool(np.quantile(lat_ms, 0.95) < hop_ms),
+        "realtime_ok": bool(np.quantile(plat_ms, 0.95) < hop_ms),
+        "sync_realtime_ok": bool(np.quantile(lat_ms, 0.95) < hop_ms),
         "device_realtime_ok": bool(dev_ms < hop_ms),
-        "rtf": round(float(np.median(lat_ms)) / hop_ms, 4),
+        "rtf": round(float(np.median(plat_ms)) / hop_ms, 4),
+        "sync_rtf": round(float(np.median(lat_ms)) / hop_ms, 4),
         "device_rtf": round(dev_ms / hop_ms, 4),
     }))
 

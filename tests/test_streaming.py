@@ -63,6 +63,25 @@ def test_stream_steady_state_periodic(small_setup):
     assert np.abs(b).max() < 1e3
 
 
+def test_stream_pipelined_equals_sync_delayed(small_setup):
+    """pipeline_depth=1 returns bit-identical chunks one hop late: the hop
+    math is unchanged, only the host fetch is overlapped (VERDICT r3 item 4).
+    The first returned chunk is silence; flush() drains the in-flight hop."""
+    ce, pe, dec, tgt, cfg = small_setup
+    chunks = [_tone(cfg.chunk, phase=i) for i in range(6)]
+    sync = StreamingConverter(ce, pe, dec, tgt, cfg)
+    want = [sync.process_chunk(c) for c in chunks]
+    pipe = StreamingConverter(ce, pe, dec, tgt, cfg, pipeline_depth=1)
+    got = [pipe.process_chunk(c) for c in chunks]
+    np.testing.assert_array_equal(got[0], np.zeros(cfg.chunk, np.float32))
+    for a, b in zip(want[:-1], got[1:]):
+        np.testing.assert_array_equal(a, b)
+    tail = pipe.flush()
+    assert len(tail) == 1
+    np.testing.assert_array_equal(want[-1], tail[0])
+    assert pipe.flush() == []
+
+
 def test_stream_state_pytree_shapes(small_setup):
     _, _, _, _, cfg = small_setup
     st = init_stream_state(cfg, DecoderConfig())
