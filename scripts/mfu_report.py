@@ -88,11 +88,19 @@ def stage_flops():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--times", default=None,
-                    help="JSON dict of stage->ms overriding the defaults")
+                    help="stage->ms JSON overriding the defaults: either an "
+                         "inline dict or a path written by profile_stages.py "
+                         "--json (one-command refresh, VERDICT r3 item 8)")
     args = ap.parse_args()
     meas = dict(MEASURED_DEFAULT)
     if args.times:
-        meas.update(json.loads(args.times))
+        import os
+
+        if os.path.exists(args.times):
+            with open(args.times) as f:
+                meas.update(json.load(f))
+        else:
+            meas.update(json.loads(args.times))
 
     fl = stage_flops()
     print(f"{'stage':18s} {'GFLOP':>9s} {'ms':>8s} {'TFLOP/s':>8s} {'MXU%':>6s}  notes")

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=48_000)
     ap.add_argument("--library", type=int, default=100_000)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--json", default=None,
+                    help="also write the stage->ms deltas as a JSON dict "
+                         "consumable by mfu_report.py --times (one-command "
+                         "roofline refresh)")
     args = ap.parse_args()
     if args.steps < 2:
         ap.error("--steps must be >= 2 (per-step = (t_K - t_1)/(K - 1))")
@@ -204,13 +208,32 @@ def main():
 
     prev = 0.0
     audio_s = args.batch * args.chunk / 16000.0
+    deltas = {}
     for name, fn in stages:
         dt = timed(fn)
+        deltas[name] = (dt - prev) * 1e3
         print(
             f"{name:8s} cum={dt * 1e3:8.2f} ms  delta={(dt - prev) * 1e3:8.2f} ms"
         )
         prev = dt
     print(f"kept audio per step: {audio_s:.1f} s -> {audio_s / prev:.1f} audio-s/s")
+
+    if args.json:
+        import json
+
+        # map prefix deltas onto mfu_report.py's stage names
+        table = {
+            "stft+f0": round(deltas["spec"] + deltas["f0"], 2),
+            "content_encoder": round(deltas["+ce"], 2),
+            "knn": round(deltas["+knn"], 2),
+            "feature_extractor": round(deltas["+fe"], 2),
+            "oscillator": round(deltas["+osc"], 2),
+            "filter": round(deltas["+filter"], 2),
+        }
+        with open(args.json, "w") as f:
+            json.dump(table, f, indent=1)
+        print(f"wrote {args.json}; run: python scripts/mfu_report.py "
+              f"--times {args.json}")
 
 
 if __name__ == "__main__":
