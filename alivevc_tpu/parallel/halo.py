@@ -93,6 +93,29 @@ def f0_estimator_sharded(params: Params, spec: jax.Array, axis_name: str) -> jax
     return linear(params["output_layer"], x)
 
 
+def feature_extractor_sharded(
+    params: Params, content: jax.Array, f0: jax.Array, axis_name: str
+) -> jax.Array:
+    """Decoder FeatureExtractor (module/decoder.py:27-48) on time-sharded
+    [T_local, ...] slices — completes halo SP over every frame-rate ConvNeXt
+    stack in the model family (VERDICT r3 item 9).  The F0Encoder condition
+    is pointwise (1x1 convs + sin), so only the depthwise convs inside the
+    AdaptiveConvNeXt blocks exchange halos.
+
+    The sample-rate Filter U-Net is deliberately NOT time-sharded: the
+    long-audio axis for synthesis is window-level data parallelism (the
+    reference's own overlap-discard chunking, infer/offline.py), which is
+    embarrassingly parallel at 3 s granularity.  See PARITY.md."""
+    from alivevc_tpu.models.decoder import f0_encoder
+
+    x = linear(params["input_layer"], content)
+    # fp32 island for the sinusoidal F0 encode (models/decoder.py:96)
+    cond = f0_encoder(params["f0_enc"], f0.astype(jnp.float32)).astype(x.dtype)
+    for block in params["mid_layers"]:
+        x = adaptive_convnext1d_sharded(block, x, cond, axis_name)
+    return x
+
+
 def sharded_frame_model(
     mesh: Mesh,
     model_fn: Callable[[jax.Array, str], jax.Array],

@@ -195,3 +195,32 @@ def test_dp_gan_step_full_size_configs():
     # params must stay replicated after the update (grad psum inserted by
     # the partitioner, same update applied on every device)
     assert state.dec_params["filter"]["source_out"]["w"].sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_halo_feature_extractor_equals_dense():
+    """Halo SP now covers every frame-rate ConvNeXt stack: the decoder's
+    FeatureExtractor (AdaptiveConvNeXt + pointwise F0 condition) sharded
+    along time must equal the dense model (VERDICT r3 item 9)."""
+    from jax.sharding import PartitionSpec as P
+
+    from alivevc_tpu.config import DecoderConfig
+    from alivevc_tpu.models.decoder import feature_extractor, init_feature_extractor
+    from alivevc_tpu.parallel.halo import feature_extractor_sharded
+
+    params = init_feature_extractor(jax.random.PRNGKey(0), DecoderConfig())
+    mesh = make_mesh([("data", 8)])
+    rng = np.random.default_rng(3)
+    content = jnp.asarray(rng.standard_normal((80, 768)).astype(np.float32))
+    f0 = jnp.asarray((rng.random((80, 1)) * 300 + 80).astype(np.float32))
+
+    dense = feature_extractor(params, content[None], f0[None])[0]
+    fn = jax.shard_map(
+        lambda c, f: feature_extractor_sharded(params, c, f, "data"),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
+        check_vma=False,
+    )
+    sharded = fn(content, f0)
+    np.testing.assert_allclose(
+        np.asarray(dense), np.asarray(sharded), rtol=2e-5, atol=2e-5
+    )
