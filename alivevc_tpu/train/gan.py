@@ -73,19 +73,26 @@ def init_gan(
     return GanState(dec, disc, opt_g.init(dec), opt_d.init(disc), jnp.zeros((), jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "dec_cfg", "disc_cfg"))
-def gan_train_step(
+def _gan_grads(
     state: GanState,
-    ce_params,       # frozen
-    pe_params,       # frozen
-    wave: jax.Array,  # [N, L]
-    rng: jax.Array,
-    cfg: TrainConfig = TrainConfig(),
-    dec_cfg: DecoderConfig = DecoderConfig(),
-    disc_cfg: DiscriminatorConfig = DiscriminatorConfig(),
+    ce_params,
+    pe_params,
+    wave: jax.Array,  # [N_local, L]
+    r_amp: jax.Array,
+    r_f0: jax.Array,
+    cfg: TrainConfig,
+    dec_cfg: DecoderConfig,
+    disc_cfg: DiscriminatorConfig,
+    roll=None,
 ):
-    opt_g, opt_d = _make_opts(cfg)
-    r_amp, r_f0 = jax.random.split(rng)
+    """Per-batch G and D gradients + metrics (no optimizer update).
+
+    ``roll`` overrides the pseudo-cross-speaker batch roll
+    (train_decoder.py:135 ``content.roll(1, dims=0)``) — the explicit-DP
+    step passes a ppermute-based global roll so rolling crosses shard
+    boundaries exactly like the dense step's jnp.roll."""
+    if roll is None:
+        roll = lambda x: jnp.roll(x, 1, axis=0)  # noqa: E731
 
     wave = wave * (jax.random.uniform(r_amp, (wave.shape[0], 1)) * 2.0)
     spec = spectrogram(wave)
@@ -94,7 +101,7 @@ def gan_train_step(
     f0_jitter = 0.5 + jax.random.uniform(r_f0, (1, 1, 1))
 
     matched_self = match_features(content, content)
-    matched_roll = match_features(content, jnp.roll(content, 1, axis=0))
+    matched_roll = match_features(content, roll(content))
 
     def g_loss_fn(dec_params):
         wave_recon, _ = decoder(dec_params, matched_self, f0, cfg=dec_cfg)
@@ -128,9 +135,6 @@ def gan_train_step(
     (loss_g, aux), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(
         state.dec_params
     )
-    upd_g, dec_opt = opt_g.update(grads_g, state.dec_opt, state.dec_params)
-    dec_params = optax.apply_updates(state.dec_params, upd_g)
-
     wave_fake = jax.lax.stop_gradient(aux.pop("fake"))
 
     def d_loss_fn(disc_params):
@@ -139,11 +143,99 @@ def gan_train_step(
         return discriminator_adv_loss(logits_real, logits_fake)
 
     loss_d, grads_d = jax.value_and_grad(d_loss_fn)(state.disc_params)
+    metrics = {"loss_g": loss_g, "loss_d": loss_d, **aux}
+    return grads_g, grads_d, metrics
+
+
+def _apply_updates(state: GanState, grads_g, grads_d, cfg: TrainConfig) -> GanState:
+    opt_g, opt_d = _make_opts(cfg)
+    upd_g, dec_opt = opt_g.update(grads_g, state.dec_opt, state.dec_params)
+    dec_params = optax.apply_updates(state.dec_params, upd_g)
     upd_d, disc_opt = opt_d.update(grads_d, state.disc_opt, state.disc_params)
     disc_params = optax.apply_updates(state.disc_params, upd_d)
+    return GanState(dec_params, disc_params, dec_opt, disc_opt, state.step + 1)
 
-    metrics = {"loss_g": loss_g, "loss_d": loss_d, **aux}
-    return (
-        GanState(dec_params, disc_params, dec_opt, disc_opt, state.step + 1),
-        metrics,
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dec_cfg", "disc_cfg"))
+def gan_train_step(
+    state: GanState,
+    ce_params,       # frozen
+    pe_params,       # frozen
+    wave: jax.Array,  # [N, L]
+    rng: jax.Array,
+    cfg: TrainConfig = TrainConfig(),
+    dec_cfg: DecoderConfig = DecoderConfig(),
+    disc_cfg: DiscriminatorConfig = DiscriminatorConfig(),
+):
+    r_amp, r_f0 = jax.random.split(rng)
+    grads_g, grads_d, metrics = _gan_grads(
+        state, ce_params, pe_params, wave, r_amp, r_f0, cfg, dec_cfg, disc_cfg
     )
+    return _apply_updates(state, grads_g, grads_d, cfg), metrics
+
+
+def dp_gan_train_step(
+    mesh,
+    state: GanState,
+    ce_params,
+    pe_params,
+    wave: jax.Array,   # [N, L] sharded over ``axis_name``
+    rng: jax.Array,
+    cfg: TrainConfig = TrainConfig(),
+    dec_cfg: DecoderConfig = DecoderConfig(),
+    disc_cfg: DiscriminatorConfig = DiscriminatorConfig(),
+    axis_name: str = "data",
+):
+    """Explicit-SPMD data-parallel GAN step: local grads + one psum.
+
+    ``jit(gan_train_step)`` under a sharded batch leaves the partitioning to
+    GSPMD, which implements the discriminator conv *weight* gradients (batch
+    is a contracting dim there) by all-gathering activations — measured
+    672 MB/step of all-gather at batch 8 against a 259 MB grad-psum floor
+    (scripts/comm_volume.py).  Over ICI that is noise; over DCN it would
+    dominate the 1→2-host scaling budget.  This wrapper runs the whole grad
+    computation *inside* shard_map, so every conv grad is local and the only
+    cross-device traffic is one pmean of the G+D gradients — the floor.
+
+    Semantics vs the dense step: identical loss math; the pseudo-cross-
+    speaker roll crosses shard boundaries via ppermute (== jnp.roll on the
+    global batch); the per-item amplitude augmentation folds the shard index
+    into its key (a different-but-equivalent random stream); the shared F0
+    jitter scalar uses the same key on every shard.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis_name]
+
+    def shard_fn(state, ce_p, pe_p, w, rng):
+        r_amp, r_f0 = jax.random.split(rng)
+        i = jax.lax.axis_index(axis_name)
+        r_amp = jax.random.fold_in(r_amp, i)       # per-shard amplitude aug
+
+        def global_roll(x):
+            # roll(1) over the global batch: shard j's first row is shard
+            # j-1's last row
+            prev_last = jax.lax.ppermute(
+                x[-1:], axis_name, [(j, (j + 1) % n) for j in range(n)]
+            )
+            return jnp.concatenate([prev_last, x[:-1]], axis=0)
+
+        grads_g, grads_d, metrics = _gan_grads(
+            state, ce_p, pe_p, w, r_amp, r_f0, cfg, dec_cfg, disc_cfg,
+            roll=global_roll,
+        )
+        grads_g = jax.lax.pmean(grads_g, axis_name)
+        grads_d = jax.lax.pmean(grads_d, axis_name)
+        metrics = jax.lax.pmean(metrics, axis_name)
+        return _apply_updates(state, grads_g, grads_d, cfg), metrics
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis_name), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    return fn(state, ce_params, pe_params, wave, rng)

@@ -168,8 +168,10 @@ def test_dp_gan_step_full_size_configs():
     under ('data',) sharding on the 8-device mesh, so "full-size training
     is SPMD-safe" is an executed fact, not an inference from the tiny
     dryrun configs (__graft_entry__.py uses reduced configs for CPU
-    compile cost; this test pays that cost once, in the slow tier)."""
-    from alivevc_tpu.train.gan import gan_train_step, init_gan
+    compile cost; this test pays that cost once, in the slow tier).  Uses
+    the explicit-SPMD dp step (local grads + pmean — the multi-host
+    training path; scripts/comm_volume.py measures its traffic floor)."""
+    from alivevc_tpu.train.gan import dp_gan_train_step, init_gan
 
     mesh = make_mesh([("data", 8)])
     state = init_gan(jax.random.PRNGKey(0))          # production configs
@@ -186,7 +188,9 @@ def test_dp_gan_step_full_size_configs():
     wave_s = shard_along(jnp.asarray(wave), mesh, "data", 0)
 
     dec_before = np.asarray(state.dec_params["filter"]["source_out"]["w"])
-    state, metrics = gan_train_step(state, ce_r, pe_r, wave_s, jax.random.PRNGKey(3))
+    state, metrics = dp_gan_train_step(
+        mesh, state, ce_r, pe_r, wave_s, jax.random.PRNGKey(3)
+    )
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"non-finite {k} in full-size dp GAN step"
     assert not np.allclose(
