@@ -123,9 +123,12 @@ def main():
         knn_c, "per conversion step",
     )
     per_query = knn_bytes / queries
-    print(f"  = {per_query:.0f} B/query (analytic floor: k=4 candidates x "
-          f"(768-d f32 vector + score + index) x (n-1)/n gather "
-          f"≈ {k * (768 * 4 + 8):,} B/query before overlap)")
+    floor = n * k * 8 + 768 * 4     # score+index gather + one [D] psum row
+    print(f"  = {per_query:.0f} B/query (two-phase merge floor: P*k "
+          f"(score,index) pairs gathered + one 768-d f32 psum row "
+          f"= {floor:,} B/query; the naive gather-the-vectors merge costs "
+          f"P*k*D*4 = {n * k * 768 * 4:,} B/query — measured 98 432 B/query "
+          f"before the r4 rewrite)")
 
     # ---- 2. data-parallel GAN training step ------------------------------
     # Production model sizes, batch 8 (1/device).  Grad psum = one
@@ -142,8 +145,19 @@ def main():
     gan_c = jax.jit(gan_train_step).lower(
         state, ce_r, pe_r, wave, jax.random.PRNGKey(3)
     ).compile()
-    gan_bytes = report("dp GAN train step (production configs, batch 8)",
-                       gan_c, "per training step")
+    report("GSPMD GAN train step (jit + sharded batch, production configs)",
+           gan_c, "per training step")
+
+    # explicit-SPMD step: grads computed inside shard_map, one pmean — the
+    # production multi-host path (train/gan.py:dp_gan_train_step)
+    from alivevc_tpu.train.gan import dp_gan_train_step
+    import functools as ft
+
+    dp_c = jax.jit(
+        ft.partial(dp_gan_train_step, mesh_d)
+    ).lower(state, ce_r, pe_r, wave, jax.random.PRNGKey(3)).compile()
+    gan_bytes = report("explicit dp GAN train step (shard_map local grads + pmean)",
+                       dp_c, "per training step")
 
     n_params = sum(
         np.prod(l.shape) for l in jax.tree_util.tree_leaves(state.dec_params)
