@@ -62,6 +62,11 @@ def build_parser():
     p.add_argument("-a", "--alpha", default=0.0, type=float)
     p.add_argument("-lib", "--voice-library-path", default="NONE")
     p.add_argument("-wpe", "--world-pitch-estimation", action="store_true")
+    p.add_argument("-pd", "--pipeline-depth", default=1, type=int,
+                   help="overlap device round-trips with real time: each hop "
+                        "returns the previous hop's output (+1 hop latency, "
+                        "~RTT less host cost per hop); 0 = synchronous "
+                        "reference loop")
     return p
 
 
@@ -110,7 +115,8 @@ def _build(args):
     )
     print(f"Loaded {tgt.shape[0]} words.")
     return StreamingConverter(
-        ce, pe, dec, tgt, cfg, world_pitch=args.world_pitch_estimation
+        ce, pe, dec, tgt, cfg, world_pitch=args.world_pitch_estimation,
+        pipeline_depth=args.pipeline_depth,
     )
 
 
@@ -127,6 +133,9 @@ def run_file_mode(args):
     outs = []
     for i in range(n):
         outs.append(conv.process_chunk(wave[i * c : (i + 1) * c]))
+    # pipelined mode returns chunks one hop late: drop the leading silence
+    # and drain the in-flight tail so file output stays hop-aligned
+    outs = outs[conv.pipeline_depth :] + conv.flush()
     out = np.concatenate(outs) * (10.0 ** (args.gain / 20.0))
     write_wav(args.output_wav or "streamed.wav", out, 16000)
     print(f"streamed {n} chunks → {args.output_wav or 'streamed.wav'}")
