@@ -171,6 +171,34 @@ def _choose_tb(b: int, p: int, r: int, w: int, hb: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _film_selectors(r: int, p: int, tbh: int, hb: int, ftb: int):
+    """MXU-FiLM geometry: selector matrices turning the frame→row expansion
+    into matmuls (film_impl='mxu').
+
+    Row rr of a tile needs frames q, q+1, q+2 of the [3ftb] prev|cur|next
+    frame window, q = (ftb*m - hb + rr)//m.  A 0/1 selector dot
+    [TBH, KW] @ [KW, W] replaces the VPU path's broadcast ×m + reshape + two
+    sublane-unaligned slices — a selector dot is *exact* in any matmul
+    precision (one nonzero per row).  Columns are truncated to the used
+    window [qmin, qmin+KW) to keep K one MXU chunk.
+
+    Returns (qmin, kw, sel [3, TBH, KW] f32).
+    """
+    m = r // p
+    q0 = np.arange(tbh, dtype=np.int64)
+    q0 = (ftb * m - hb + q0) // m
+    qmin = int(q0[0])
+    qmax = int(q0[-1]) + 2
+    kw = min(-(-(qmax - qmin + 1) // 8) * 8, 3 * ftb - qmin)
+    sel = np.zeros((3, tbh, kw), np.float32)
+    for s in range(3):
+        cols = q0 + s - qmin
+        assert cols.max() < kw, (r, p, tbh, hb, ftb, kw)
+        sel[s, np.arange(tbh), cols] = 1.0
+    return qmin, kw, sel
+
+
+@functools.lru_cache(maxsize=None)
 def _film_tables(r: int, p: int, tbh: int, hb: int, w: int) -> np.ndarray:
     """[3, TBH, W] periodic per-lane interp weights for rows -HB..TB-1 of a
     tile (row rr holds samples (rr-HB)*P .. +P-1 relative to the tile)."""
@@ -222,13 +250,22 @@ def _shift_mats(w3: jax.Array, p: int, dilation: int):
 # Ablated kernels compute the wrong function — never set outside a bench.
 _ABLATE = ""
 
+# Measured-per-geometry default for the FiLM expansion implementation
+# ((W, P) -> 'vpu' | 'mxu'); flipped by on-chip A/B (scripts/bench_filter.py
+# --film).  Start conservative: 'vpu' everywhere until measured.
+_FILM_AUTO: dict = {}
+
 
 def _stack_kernel(
     xp_ref, xc_ref, fp_ref, fc_ref, fn_ref, wabc_ref, mats_ref, bias_ref,
-    out_ref,
-    *, hb: int, tb: int, m: int, ftb: int, n_res: int,
-    conv_offs, conv_mat0, precision,
+    *rest,
+    hb: int, tb: int, m: int, ftb: int, n_res: int,
+    conv_offs, conv_mat0, precision, film_impl: str = "vpu", qmin: int = 0,
 ):
+    if film_impl == "mxu":
+        rsel_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     w = xc_ref.shape[-1]
     tbh = hb + tb
     t = pl.program_id(1)
@@ -258,6 +295,21 @@ def _stack_kernel(
         if "nofilm" in _ABLATE:
             # [1, W] -> [TBH, W] is a sublane-only broadcast (Mosaic-legal)
             return jnp.broadcast_to(fe[idx][:1].astype(dt), (tbh, w))
+        if film_impl == "mxu":
+            # selector matmuls: rows_win [KW, W] holds the used frame window;
+            # each dot picks one frame per output row (exact — one nonzero
+            # per selector row), replacing the broadcast x m + reshape + two
+            # sublane-unaligned slices of the VPU path with 3 MXU passes.
+            kw = rsel_ref.shape[-1]
+            rows_win = lax.slice(fe[idx], (qmin, 0), (qmin + kw, w)).astype(dt)
+            s0 = lax.dot(rsel_ref[0].astype(dt), rows_win,
+                         preferred_element_type=jnp.float32)
+            s1 = lax.dot(rsel_ref[1].astype(dt), rows_win,
+                         preferred_element_type=jnp.float32)
+            s2 = lax.dot(rsel_ref[2].astype(dt), rows_win,
+                         preferred_element_type=jnp.float32)
+            return (s0.astype(ft) * wa + s1.astype(ft) * wb
+                    + s2.astype(ft) * wc).astype(dt)
         rows = fe[idx].astype(ft)                                # [3ftb, W]
         rep = jnp.broadcast_to(rows[:, None, :], (3 * ftb, m, w))
         rep = rep.reshape(3 * ftb * m, w)
@@ -325,10 +377,14 @@ def _fused_impl(
     k: int = 5,
     precision: str = "default",
     tb_override: int = 0,
+    film_impl: str = "auto",
 ) -> jax.Array:
     """models.filter_packed._filter_block_packed, fused into one Pallas
     program per (window, time tile).  Exact up to float summation order; the
-    reflect-pad head (first HB rows) is recomputed by the XLA packed path."""
+    reflect-pad head (first HB rows) is recomputed by the XLA packed path.
+
+    film_impl: 'vpu' (broadcast/slice expansion), 'mxu' (selector matmuls,
+    _film_selectors), or 'auto' (measured-per-level choice)."""
     from alivevc_tpu.models.filter_packed import _filter_block_packed
 
     n, b, w = x.shape
@@ -388,9 +444,21 @@ def _fused_impl(
 
     prec = (lax.Precision.HIGHEST if precision == "highest"
             else lax.Precision.DEFAULT)
+    if film_impl == "auto":
+        film_impl = _FILM_AUTO.get((w, p), "vpu")
+    qmin = 0
+    extra_ops, extra_specs = [], []
+    if film_impl == "mxu":
+        qmin, kw, sel = _film_selectors(r, p, tbh, hb, ftb)
+        extra_ops.append(jnp.asarray(sel).astype(dt))
+        extra_specs.append(
+            pl.BlockSpec((3, tbh, kw), lambda q, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
     kernel = functools.partial(
         _stack_kernel, hb=hb, tb=tb, m=m, ftb=ftb, n_res=n_res,
         conv_offs=tuple(conv_offs), conv_mat0=tuple(conv_mat0), precision=prec,
+        film_impl=film_impl, qmin=qmin,
     )
     out = pl.pallas_call(
         kernel,
@@ -413,6 +481,7 @@ def _fused_impl(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(bias_all.shape, lambda q, t: (0, 0),
                          memory_space=pltpu.VMEM),
+            *extra_specs,
         ],
         out_specs=pl.BlockSpec((1, tb, w), lambda q, t: (q, t, 0),
                                memory_space=pltpu.VMEM),
@@ -424,7 +493,7 @@ def _fused_impl(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(x, x, fe, fe, fe, wabc, mats_all, bias_all)
+    )(x, x, fe, fe, fe, wabc, mats_all, bias_all, *extra_ops)
 
     # reflect-pad head: the kernel's zero-pad bulk differs from the reference
     # for the first HB rows; recompute them exactly (causal => a head strip
@@ -448,17 +517,18 @@ def _fused_impl(
 # + its transpose, same as plain AD of the packed path.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
-def _fused_cvjp(p, c, r, k, precision, tb_override, blk, x, cond):
-    return _fused_impl(blk, x, cond, p, c, r, k, precision, tb_override)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _fused_cvjp(p, c, r, k, precision, tb_override, film_impl, blk, x, cond):
+    return _fused_impl(blk, x, cond, p, c, r, k, precision, tb_override,
+                       film_impl)
 
 
-def _fused_cvjp_fwd(p, c, r, k, precision, tb_override, blk, x, cond):
-    out = _fused_cvjp(p, c, r, k, precision, tb_override, blk, x, cond)
+def _fused_cvjp_fwd(p, c, r, k, precision, tb_override, film_impl, blk, x, cond):
+    out = _fused_cvjp(p, c, r, k, precision, tb_override, film_impl, blk, x, cond)
     return out, (blk, x, cond)
 
 
-def _fused_cvjp_bwd(p, c, r, k, precision, tb_override, res, g):
+def _fused_cvjp_bwd(p, c, r, k, precision, tb_override, film_impl, res, g):
     from alivevc_tpu.models.filter_packed import _filter_block_packed
 
     blk, x, cond = res
@@ -482,5 +552,6 @@ def fused_filter_block(
     k: int = 5,
     precision: str = "default",
     tb_override: int = 0,
+    film_impl: str = "auto",
 ) -> jax.Array:
-    return _fused_cvjp(p, c, r, k, precision, tb_override, blk, x, cond)
+    return _fused_cvjp(p, c, r, k, precision, tb_override, film_impl, blk, x, cond)

@@ -170,3 +170,22 @@ def test_full_unet_fused_vs_plain(dec, monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(filter_unet_packed(dec["filter"], src, cond, CFG))
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
+
+
+@pytest.mark.parametrize("lvl", [0, 1, 2])
+def test_fused_level_parity_mxu_film(dec, lvl):
+    """film_impl='mxu' (selector-matmul frame->row expansion) must match the
+    packed XLA reference as exactly as the VPU expansion — selector dots are
+    exact (one nonzero per row), so the tolerance is unchanged."""
+    c, p, b, r = _level(lvl)
+    blk = dec["filter"]["blocks"][len(CFG.filter_channels) - 1 - lvl]
+    rng = np.random.default_rng(20 + lvl)
+    x = jnp.asarray(rng.standard_normal((2, b, p * c)).astype(np.float32) * 0.3)
+    cond = jnp.asarray(rng.standard_normal((2, F, CFG.channels)).astype(np.float32) * 0.5)
+    want = np.asarray(_filter_block_packed(blk, x, cond, p, c, r, b))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fused_filter_block(blk, x, cond, p, c, r, precision="highest",
+                               film_impl="mxu")
+        )
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
