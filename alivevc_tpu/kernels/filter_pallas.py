@@ -262,7 +262,7 @@ def _stack_kernel(
     hb: int, tb: int, m: int, ftb: int, n_res: int,
     conv_offs, conv_mat0, precision, film_impl: str = "vpu", qmin: int = 0,
 ):
-    if film_impl == "mxu":
+    if film_impl in ("mxu", "mxu1"):
         rsel_ref, out_ref = rest
     else:
         (out_ref,) = rest
@@ -280,7 +280,6 @@ def _stack_kernel(
             return v
         return jnp.where(jnp.logical_and(first, halo), jnp.zeros_like(v), v)
 
-    fe = jnp.concatenate([fp_ref[0], fc_ref[0], fn_ref[0]], axis=1)  # [12,3ftb,W]
     # bf16 activations keep the FiLM interpolation in bf16 end-to-end (the
     # weight tables arrive in dt): saves the f32 casts — the interp error is
     # one bf16 rounding, absorbed by the bf16 path's tolerance.  f32 keeps
@@ -291,7 +290,35 @@ def _stack_kernel(
     wc = wabc_ref[2].astype(ft)
     off0 = ftb * m - hb
 
-    def film(idx):
+    if film_impl == "mxu1":
+        # One selector-dot set expands ALL 4*n_res FiLM tensors at once: the
+        # frame rows arrive lane-stacked [ftb, 12W], three dots [TBH, KW] @
+        # [KW, 12W] pick frames q/q+1/q+2 per row (exact — one nonzero per
+        # selector row), and the periodic weight tables (pre-tiled to 12W)
+        # finish the interp in 3 wide VPU passes.  Each film(idx) use is
+        # then a lane-aligned slice — the serial per-use cost of the VPU
+        # path (broadcast x m + reshape + two sublane-unaligned slices,
+        # x12 uses) collapses to one shared 6-op prologue.
+        few = jnp.concatenate([fp_ref[0], fc_ref[0], fn_ref[0]], axis=0)
+        kw = rsel_ref.shape[-1]
+        w12 = few.shape[-1]
+        rows_win = lax.slice(few, (qmin, 0), (qmin + kw, w12)).astype(dt)
+        s0 = lax.dot(rsel_ref[0].astype(dt), rows_win,
+                     preferred_element_type=jnp.float32)
+        s1 = lax.dot(rsel_ref[1].astype(dt), rows_win,
+                     preferred_element_type=jnp.float32)
+        s2 = lax.dot(rsel_ref[2].astype(dt), rows_win,
+                     preferred_element_type=jnp.float32)
+        films_all = (s0.astype(ft) * wa + s1.astype(ft) * wb
+                     + s2.astype(ft) * wc).astype(dt)       # [TBH, 12W]
+
+        def film(idx):
+            return lax.slice(films_all, (0, idx * w), (tbh, (idx + 1) * w))
+
+    else:
+        fe = jnp.concatenate([fp_ref[0], fc_ref[0], fn_ref[0]], axis=1)
+
+    def _film_legacy(idx):
         if "nofilm" in _ABLATE:
             # [1, W] -> [TBH, W] is a sublane-only broadcast (Mosaic-legal)
             return jnp.broadcast_to(fe[idx][:1].astype(dt), (tbh, w))
@@ -317,6 +344,9 @@ def _stack_kernel(
         s1 = lax.slice(rep, (off0 + m, 0), (off0 + m + tbh, w))
         s2 = lax.slice(rep, (off0 + 2 * m, 0), (off0 + 2 * m + tbh, w))
         return (s0 * wa + s1 * wb + s2 * wc).astype(dt)
+
+    if film_impl != "mxu1":
+        film = _film_legacy
 
     gelu_fn = (lambda v: v) if "nogelu" in _ABLATE else _gelu_for(dt)
 
@@ -413,12 +443,24 @@ def _fused_impl(
             pp = blk["blocks"][i][cc]
             fes.append(linear(pp["to_scale"], cond) + 1.0)
             fes.append(linear(pp["to_shift"], cond))
-    fe = jnp.stack([jnp.tile(v, (1, 1, p)) for v in fes], axis=1)  # [N,12,F,W]
-    fe = jnp.concatenate([fe[:, :, :1], fe], axis=2)               # front edge
+    if film_impl == "auto":
+        film_impl = _FILM_AUTO.get((w, p), "vpu")
     tail = (nt + 1) * ftb - (f + 1)
-    fe = jnp.concatenate(
-        [fe] + [jnp.broadcast_to(fe[:, :, -1:], (n, 4 * n_res, tail, w))], axis=2
-    ).astype(dt)
+    if film_impl == "mxu1":
+        # lane-stacked layout [N, F_pad, 12W] — all 12 FiLM frame tensors
+        # side by side so the kernel expands them with one selector-dot set
+        fe = jnp.concatenate([jnp.tile(v, (1, 1, p)) for v in fes], axis=2)
+        fe = jnp.concatenate([fe[:, :1], fe], axis=1)              # front edge
+        fe = jnp.concatenate(
+            [fe, jnp.broadcast_to(fe[:, -1:], (n, tail, 4 * n_res * w))], axis=1
+        ).astype(dt)
+    else:
+        fe = jnp.stack([jnp.tile(v, (1, 1, p)) for v in fes], axis=1)  # [N,12,F,W]
+        fe = jnp.concatenate([fe[:, :, :1], fe], axis=2)           # front edge
+        fe = jnp.concatenate(
+            [fe] + [jnp.broadcast_to(fe[:, :, -1:], (n, 4 * n_res, tail, w))],
+            axis=2,
+        ).astype(dt)
 
     # conv shift matrices: input 1x1 + 6 causal convs
     eye = np.eye(p, dtype=np.float32)
@@ -440,15 +482,16 @@ def _fused_impl(
             biases.append(jnp.tile(conv_p["b"], p))
     mats_all = jnp.concatenate(mats_list, axis=0).astype(dt)       # [NM, W, W]
     bias_all = jnp.stack(biases).astype(jnp.float32)               # [7, W]
-    wabc = jnp.asarray(_film_tables(r, p, tbh, hb, w)).astype(dt)  # [3,TBH,W]
+    wabc = jnp.asarray(_film_tables(r, p, tbh, hb, w))             # [3,TBH,W]
+    if film_impl == "mxu1":
+        wabc = jnp.tile(wabc, (1, 1, 4 * n_res))                   # [3,TBH,12W]
+    wabc = wabc.astype(dt)
 
     prec = (lax.Precision.HIGHEST if precision == "highest"
             else lax.Precision.DEFAULT)
-    if film_impl == "auto":
-        film_impl = _FILM_AUTO.get((w, p), "vpu")
     qmin = 0
     extra_ops, extra_specs = [], []
-    if film_impl == "mxu":
+    if film_impl in ("mxu", "mxu1"):
         qmin, kw, sel = _film_selectors(r, p, tbh, hb, ftb)
         extra_ops.append(jnp.asarray(sel).astype(dt))
         extra_specs.append(
@@ -468,15 +511,36 @@ def _fused_impl(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tb, w), lambda q, t: (q, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 * n_res, ftb, w),
-                         lambda q, t: (q, 0, jnp.maximum(t - 1, 0), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 * n_res, ftb, w), lambda q, t: (q, 0, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 * n_res, ftb, w), lambda q, t: (q, 0, t + 1, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tbh, w), lambda q, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            *(
+                [
+                    pl.BlockSpec((1, ftb, 4 * n_res * w),
+                                 lambda q, t: (q, jnp.maximum(t - 1, 0), 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, ftb, 4 * n_res * w),
+                                 lambda q, t: (q, t, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, ftb, 4 * n_res * w),
+                                 lambda q, t: (q, t + 1, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((3, tbh, 4 * n_res * w),
+                                 lambda q, t: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ]
+                if film_impl == "mxu1"
+                else [
+                    pl.BlockSpec((1, 4 * n_res, ftb, w),
+                                 lambda q, t: (q, 0, jnp.maximum(t - 1, 0), 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 4 * n_res, ftb, w),
+                                 lambda q, t: (q, 0, t, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 4 * n_res, ftb, w),
+                                 lambda q, t: (q, 0, t + 1, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((3, tbh, w), lambda q, t: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ]
+            ),
             pl.BlockSpec(mats_all.shape, lambda q, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(bias_all.shape, lambda q, t: (0, 0),

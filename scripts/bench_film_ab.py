@@ -22,7 +22,7 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--chunk", type=int, default=48_000)
     ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--impls", default="vpu,mxu")
+    ap.add_argument("--impls", default="vpu,mxu,mxu1")
     args = ap.parse_args()
 
     import jax

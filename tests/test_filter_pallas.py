@@ -172,8 +172,9 @@ def test_full_unet_fused_vs_plain(dec, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
 
 
+@pytest.mark.parametrize("film", ["mxu", "mxu1"])
 @pytest.mark.parametrize("lvl", [0, 1, 2])
-def test_fused_level_parity_mxu_film(dec, lvl):
+def test_fused_level_parity_mxu_film(dec, lvl, film):
     """film_impl='mxu' (selector-matmul frame->row expansion) must match the
     packed XLA reference as exactly as the VPU expansion — selector dots are
     exact (one nonzero per row), so the tolerance is unchanged."""
@@ -186,6 +187,6 @@ def test_fused_level_parity_mxu_film(dec, lvl):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(
             fused_filter_block(blk, x, cond, p, c, r, precision="highest",
-                               film_impl="mxu")
+                               film_impl=film)
         )
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
