@@ -251,9 +251,16 @@ def _shift_mats(w3: jax.Array, p: int, dilation: int):
 _ABLATE = ""
 
 # Measured-per-geometry default for the FiLM expansion implementation
-# ((W, P) -> 'vpu' | 'mxu'); flipped by on-chip A/B (scripts/bench_filter.py
-# --film).  Start conservative: 'vpu' everywhere until measured.
-_FILM_AUTO: dict = {}
+# ((W, P) -> 'vpu' | 'mxu' | 'mxu1').  On-chip A/B 2026-08-20 (batch 64
+# bf16, scripts/bench_film_ab_all.py): level 0 (P=16) 22.98 vpu / 16.49 mxu
+# / 17.86 mxu1; level 1 (P=8) 23.39 / 16.95 / 17.83; level 2 (P=2) 24.36 /
+# 24.47 / 26.96 ms — per-use selector dots win 28% where the frame->row
+# replication factor is large (P>=8); at P=2 the conv matmuls dominate and
+# the film impl is a wash; W=256/P=1 (level 3) keeps vpu (m=10 and the
+# level is near its MXU floor already).  mxu1's shared one-dot prologue
+# loses to per-use mxu dots: the [TBH, 12W] carry adds VMEM pressure for
+# no serial-op savings Mosaic couldn't already schedule.
+_FILM_AUTO: dict = {(128, 16): "mxu", (128, 8): "mxu"}
 
 
 def _stack_kernel(
