@@ -42,6 +42,11 @@ def build_parser():
     p.add_argument("--mel", default=45.0, type=float)
     p.add_argument("--content", default=1.0, type=float)
     p.add_argument("--save-every", default=300, type=int)
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel over all visible devices (explicit "
+                        "shard_map step: local grads + one psum — "
+                        "train/gan.py:dp_gan_train_step); batch size must "
+                        "be a multiple of the device count")
     return p
 
 
@@ -74,6 +79,21 @@ def main(argv=None):
     if len(ds) == 0:
         raise SystemExit("no audio chunks found — check the dataset path/length")
 
+    mesh = None
+    if args.dp:
+        from alivevc_tpu.parallel.mesh import make_mesh, replicate
+
+        n_dev = len(jax.devices())
+        if args.batch_size % n_dev:
+            raise SystemExit(
+                f"--dp needs batch size divisible by {n_dev} devices"
+            )
+        mesh = make_mesh([("data", n_dev)])
+        state = replicate(state, mesh)
+        ce = replicate(ce, mesh)
+        pe = replicate(pe, mesh)
+        print(f"data-parallel over {n_dev} devices")
+
     rng_np = np.random.default_rng(0)
     rng = jax.random.PRNGKey(2)
     for epoch in range(args.epoch):
@@ -81,7 +101,16 @@ def main(argv=None):
         for i in range(0, len(ds) - args.batch_size + 1, args.batch_size):
             sel = order[i : i + args.batch_size]
             rng, sub = jax.random.split(rng)
-            state, m = gan_train_step(state, ce, pe, ds.chunks[sel], sub, cfg)
+            if mesh is not None:
+                from alivevc_tpu.parallel.mesh import shard_along
+                from alivevc_tpu.train.gan import dp_gan_train_step
+
+                import jax.numpy as jnp
+
+                wave = shard_along(jnp.asarray(ds.chunks[sel]), mesh, "data", 0)
+                state, m = dp_gan_train_step(mesh, state, ce, pe, wave, sub, cfg)
+            else:
+                state, m = gan_train_step(state, ce, pe, ds.chunks[sel], sub, cfg)
             print(
                 f"Step {int(state.step)}, D: {float(m['loss_d']):.4f}, "
                 f"Adv.: {float(m['adv']):.4f}, Mel.: {float(m['mel']):.4f}, "

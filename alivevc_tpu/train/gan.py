@@ -174,6 +174,47 @@ def gan_train_step(
     return _apply_updates(state, grads_g, grads_d, cfg), metrics
 
 
+@functools.lru_cache(maxsize=None)
+def _dp_step_fn(mesh, cfg, dec_cfg, disc_cfg, axis_name):
+    """Build (once per (mesh, configs)) the jitted shard_map dp step —
+    rebuilding it per call would re-trace every training step."""
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis_name]
+
+    def shard_fn(state, ce_p, pe_p, w, rng):
+        r_amp, r_f0 = jax.random.split(rng)
+        i = jax.lax.axis_index(axis_name)
+        r_amp = jax.random.fold_in(r_amp, i)       # per-shard amplitude aug
+
+        def global_roll(x):
+            # roll(1) over the global batch: shard j's first row is shard
+            # j-1's last row
+            prev_last = jax.lax.ppermute(
+                x[-1:], axis_name, [(j, (j + 1) % n) for j in range(n)]
+            )
+            return jnp.concatenate([prev_last, x[:-1]], axis=0)
+
+        grads_g, grads_d, metrics = _gan_grads(
+            state, ce_p, pe_p, w, r_amp, r_f0, cfg, dec_cfg, disc_cfg,
+            roll=global_roll,
+        )
+        grads_g = jax.lax.pmean(grads_g, axis_name)
+        grads_d = jax.lax.pmean(grads_d, axis_name)
+        metrics = jax.lax.pmean(metrics, axis_name)
+        return _apply_updates(state, grads_g, grads_d, cfg), metrics
+
+    return jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis_name), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
 def dp_gan_train_step(
     mesh,
     state: GanState,
@@ -203,39 +244,5 @@ def dp_gan_train_step(
     into its key (a different-but-equivalent random stream); the shared F0
     jitter scalar uses the same key on every shard.
     """
-    from jax.sharding import PartitionSpec as P
-
-    n = mesh.shape[axis_name]
-
-    def shard_fn(state, ce_p, pe_p, w, rng):
-        r_amp, r_f0 = jax.random.split(rng)
-        i = jax.lax.axis_index(axis_name)
-        r_amp = jax.random.fold_in(r_amp, i)       # per-shard amplitude aug
-
-        def global_roll(x):
-            # roll(1) over the global batch: shard j's first row is shard
-            # j-1's last row
-            prev_last = jax.lax.ppermute(
-                x[-1:], axis_name, [(j, (j + 1) % n) for j in range(n)]
-            )
-            return jnp.concatenate([prev_last, x[:-1]], axis=0)
-
-        grads_g, grads_d, metrics = _gan_grads(
-            state, ce_p, pe_p, w, r_amp, r_f0, cfg, dec_cfg, disc_cfg,
-            roll=global_roll,
-        )
-        grads_g = jax.lax.pmean(grads_g, axis_name)
-        grads_d = jax.lax.pmean(grads_d, axis_name)
-        metrics = jax.lax.pmean(metrics, axis_name)
-        return _apply_updates(state, grads_g, grads_d, cfg), metrics
-
-    fn = jax.jit(
-        jax.shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(P(), P(), P(), P(axis_name), P()),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
-    )
+    fn = _dp_step_fn(mesh, cfg, dec_cfg, disc_cfg, axis_name)
     return fn(state, ce_params, pe_params, wave, rng)
