@@ -37,6 +37,9 @@ def build_parser():
                    help="torch WavLM state dict (.pt/.bin) — runs the JAX "
                         "WavLM teacher on-device instead of host torch")
     p.add_argument("--save-every", default=100, type=int)
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel over all visible devices (explicit "
+                        "shard_map step, train/distill.py:dp_distill_step)")
     return p
 
 
@@ -75,14 +78,36 @@ def main(argv=None):
         state = load_checkpoint(args.model_path, state)
         print(f"resumed at step {int(state.step)}")
 
+    mesh = None
+    if args.dp:
+        from alivevc_tpu.parallel.mesh import make_mesh, replicate
+
+        n_dev = len(jax.devices())
+        if args.batch_size % n_dev:
+            raise SystemExit(f"--dp needs batch size divisible by {n_dev} devices")
+        mesh = make_mesh([("data", n_dev)])
+        state = replicate(state, mesh)
+        print(f"data-parallel over {n_dev} devices")
+
     rng = np.random.default_rng(0)
     for epoch in range(args.epoch):
         order = rng.permutation(len(ds))
         for i in range(0, len(ds) - args.batch_size + 1, args.batch_size):
             sel = order[i : i + args.batch_size]
-            state, m = distill_step(
-                state, ds.chunks[sel], feats[sel], args.learning_rate
-            )
+            if mesh is not None:
+                from alivevc_tpu.parallel.mesh import shard_along
+                from alivevc_tpu.train.distill import dp_distill_step
+
+                state, m = dp_distill_step(
+                    mesh, state,
+                    shard_along(jax.numpy.asarray(ds.chunks[sel]), mesh, "data", 0),
+                    shard_along(jax.numpy.asarray(feats[sel]), mesh, "data", 0),
+                    args.learning_rate,
+                )
+            else:
+                state, m = distill_step(
+                    state, ds.chunks[sel], feats[sel], args.learning_rate
+                )
             print(f"epoch {epoch} step {int(state.step)} loss {float(m['loss']):.4f}")
             if int(state.step) % args.save_every == 0:
                 save_checkpoint(args.model_path, state)

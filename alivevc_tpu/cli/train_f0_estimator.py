@@ -23,6 +23,9 @@ def build_parser():
     p.add_argument("-len", "--length", default=65536, type=int)
     p.add_argument("-m", "--max-data", default=-1, type=int)
     p.add_argument("--save-every", default=1000, type=int)
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel over all visible devices (explicit "
+                        "shard_map step, train/f0.py:dp_f0_train_step)")
     return p
 
 
@@ -43,6 +46,17 @@ def main(argv=None):
         state = load_checkpoint(args.model_path, state)
         print(f"resumed at step {int(state.step)}")
 
+    mesh = None
+    if args.dp:
+        from alivevc_tpu.parallel.mesh import make_mesh, replicate
+
+        n_dev = len(jax.devices())
+        if args.batch_size % n_dev:
+            raise SystemExit(f"--dp needs batch size divisible by {n_dev} devices")
+        mesh = make_mesh([("data", n_dev)])
+        state = replicate(state, mesh)
+        print(f"data-parallel over {n_dev} devices")
+
     rng_np = np.random.default_rng(0)
     rng = jax.random.PRNGKey(1)
     for epoch in range(args.epoch):
@@ -50,9 +64,22 @@ def main(argv=None):
         for i in range(0, len(ds) - args.batch_size + 1, args.batch_size):
             sel = order[i : i + args.batch_size]
             rng, sub = jax.random.split(rng)
-            state, m = f0_train_step(
-                state, ds.chunks[sel], ds.f0[sel], sub, args.learning_rate
-            )
+            if mesh is not None:
+                import jax.numpy as jnp
+
+                from alivevc_tpu.parallel.mesh import shard_along
+                from alivevc_tpu.train.f0 import dp_f0_train_step
+
+                state, m = dp_f0_train_step(
+                    mesh, state,
+                    shard_along(jnp.asarray(ds.chunks[sel]), mesh, "data", 0),
+                    shard_along(jnp.asarray(ds.f0[sel]), mesh, "data", 0),
+                    sub, args.learning_rate,
+                )
+            else:
+                state, m = f0_train_step(
+                    state, ds.chunks[sel], ds.f0[sel], sub, args.learning_rate
+                )
             print(f"epoch {epoch} step {int(state.step)} loss {float(m['loss']):.4f}")
             if int(state.step) % args.save_every == 0:
                 save_checkpoint(args.model_path, state)

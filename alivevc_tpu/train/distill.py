@@ -54,3 +54,48 @@ def distill_step(
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return DistillState(params, opt_state, state.step + 1), {"loss": loss}
+
+
+@functools.lru_cache(maxsize=None)
+def _dp_distill_fn(mesh, learning_rate: float, axis_name: str):
+    from jax.sharding import PartitionSpec as P
+
+    opt = radam(learning_rate)
+
+    def shard_fn(state, wave, teacher):
+        def loss_fn(params):
+            out = content_encoder(params, spectrogram(wave))
+            return jnp.mean(jnp.abs(out - teacher))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return DistillState(params, opt_state, state.step + 1), {"loss": loss}
+
+    return jax.jit(
+        jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name)), out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+def dp_distill_step(
+    mesh,
+    state: DistillState,
+    wave: jax.Array,             # [N, L] sharded over ``axis_name``
+    teacher_feature: jax.Array,  # [N, T, 768] sharded the same way
+    learning_rate: float = 1e-4,
+    axis_name: str = "data",
+):
+    """Explicit-SPMD data-parallel distillation step: local grads + one
+    pmean (equal shard sizes make the pmean'd element-mean L1 exactly the
+    global mean).  Same rationale as train/gan.py:dp_gan_train_step — the
+    GSPMD partitioning of conv weight grads all-gathers activations, which
+    is fatal over DCN."""
+    return _dp_distill_fn(mesh, learning_rate, axis_name)(
+        state, wave, teacher_feature
+    )

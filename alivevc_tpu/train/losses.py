@@ -60,6 +60,17 @@ def f0_cross_entropy(logits: jax.Array, f0_hz: jax.Array) -> jax.Array:
     logits [N, T, 4096], f0_hz [N, T] (or [N, T, 1]).  Mean over non-ignored
     frames, matching torch CrossEntropyLoss(ignore_index=0).
     """
+    total, count = f0_cross_entropy_parts(logits, f0_hz)
+    return total / jnp.maximum(count, 1)
+
+
+def f0_cross_entropy_parts(logits: jax.Array, f0_hz: jax.Array):
+    """(sum of per-voiced-frame NLL, voiced count) — the reduction parts.
+
+    The data-parallel F0 step psums BOTH parts before dividing, so the
+    sharded loss equals the global ignore_index mean exactly even when the
+    voiced-frame count differs per shard (a mean-of-per-shard-means would
+    weight shards, not frames)."""
     if f0_hz.ndim == 3:
         f0_hz = f0_hz[..., 0]
     labels = jnp.floor(f0_hz).astype(jnp.int32)
@@ -67,5 +78,4 @@ def f0_cross_entropy(logits: jax.Array, f0_hz: jax.Array) -> jax.Array:
     mask = labels != 0
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    denom = jnp.maximum(jnp.sum(mask), 1)
-    return jnp.sum(jnp.where(mask, nll, 0.0)) / denom
+    return jnp.sum(jnp.where(mask, nll, 0.0)), jnp.sum(mask)

@@ -169,7 +169,9 @@ def main() -> int:
     for r in cfg.filter_rates:
         lens.append(lens[-1] // r)
     f = lw // 320
-    for lvl in (2, 3):
+    # levels 0-1 run the MXU selector-dot FiLM (film_impl auto -> 'mxu' at
+    # P>=8 since r4), 2-3 the VPU expansion — this covers both lowerings
+    for lvl in (0, 1, 2, 3):
         c = chans[lvl]
         p = _pfac(c)
         b = lens[lvl] // p

@@ -228,3 +228,55 @@ def test_halo_feature_extractor_equals_dense():
     np.testing.assert_allclose(
         np.asarray(dense), np.asarray(sharded), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.slow
+def test_dp_distill_step_equals_dense():
+    """Explicit-dp distillation (local grads + pmean) must produce the same
+    updated params as the dense single-device step on the same global batch
+    (no RNG in the distill step, so the comparison is direct)."""
+    from alivevc_tpu.train.distill import distill_step, dp_distill_step, init_distill
+
+    mesh = make_mesh([("data", 8)])
+    state = init_distill(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.standard_normal((8, 3200)).astype(np.float32) * 0.3)
+    teacher = jnp.asarray(rng.standard_normal((8, 10, 768)).astype(np.float32))
+
+    dense, md = distill_step(state, wave, teacher)
+    state_r = replicate(state, mesh)
+    wave_s = shard_along(wave, mesh, "data", 0)
+    teacher_s = shard_along(teacher, mesh, "data", 0)
+    dp, mp = dp_distill_step(mesh, state_r, wave_s, teacher_s)
+
+    np.testing.assert_allclose(float(md["loss"]), float(mp["loss"]), rtol=1e-5)
+    a = jax.tree_util.tree_leaves(dense.params)
+    b = jax.tree_util.tree_leaves(dp.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_dp_f0_train_step_runs_and_updates():
+    """dp F0 step: psum of (NLL sum, voiced count) makes the sharded
+    ignore_index mean exact; params update and stay replicated."""
+    from alivevc_tpu.train.f0 import dp_f0_train_step, init_f0_train
+
+    mesh = make_mesh([("data", 8)])
+    state = replicate(init_f0_train(jax.random.PRNGKey(0)), mesh)
+    rng = np.random.default_rng(1)
+    wave = shard_along(
+        jnp.asarray(rng.standard_normal((8, 3200)).astype(np.float32) * 0.3),
+        mesh, "data", 0,
+    )
+    f0 = shard_along(
+        jnp.asarray((rng.random((8, 10)) * 300).astype(np.float32)),
+        mesh, "data", 0,
+    )
+    before = np.asarray(state.params["output_layer"]["w"])
+    state, m = dp_f0_train_step(mesh, state, wave, f0, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
+    after = state.params["output_layer"]["w"]
+    assert not np.allclose(before, np.asarray(after))
+    assert after.sharding.is_fully_replicated
