@@ -48,6 +48,9 @@ def build_parser():
     p.add_argument("--max-step", default=-1, type=int)
     p.add_argument("-fd", "--freeze-discriminator", action="store_true")
     p.add_argument("--save-every", default=100, type=int)
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel over all visible devices (explicit "
+                        "shard_map step, train/fine_tune.py:dp_fine_tune_step)")
     return p
 
 
@@ -98,6 +101,19 @@ def main(argv=None):
         if use_library:
             save_checkpoint(args.voice_library_path, state.vl_params)
 
+    mesh = None
+    if args.dp:
+        from alivevc_tpu.parallel.mesh import make_mesh, replicate
+
+        n_dev = len(jax.devices())
+        if args.batch_size % n_dev:
+            raise SystemExit(f"--dp needs batch size divisible by {n_dev} devices")
+        mesh = make_mesh([("data", n_dev)])
+        state = replicate(state, mesh)
+        ce = replicate(ce, mesh)
+        pe = replicate(pe, mesh)
+        print(f"data-parallel over {n_dev} devices")
+
     rng_np = np.random.default_rng(0)
     rng = jax.random.PRNGKey(2)
     for epoch in range(args.epoch):
@@ -105,12 +121,25 @@ def main(argv=None):
         for i in range(0, len(ds) - args.batch_size + 1, args.batch_size):
             sel = order[i : i + args.batch_size]
             rng, sub = jax.random.split(rng)
-            state, m = fine_tune_step(
-                state, ce, pe, ds.chunks[sel], sub,
-                use_library=use_library,
-                freeze_discriminator=args.freeze_discriminator,
-                cfg=cfg,
-            )
+            if mesh is not None:
+                import jax.numpy as jnp
+
+                from alivevc_tpu.parallel.mesh import shard_along
+                from alivevc_tpu.train.fine_tune import dp_fine_tune_step
+
+                state, m = dp_fine_tune_step(
+                    mesh, state, ce, pe,
+                    shard_along(jnp.asarray(ds.chunks[sel]), mesh, "data", 0),
+                    sub, use_library=use_library,
+                    freeze_discriminator=args.freeze_discriminator, cfg=cfg,
+                )
+            else:
+                state, m = fine_tune_step(
+                    state, ce, pe, ds.chunks[sel], sub,
+                    use_library=use_library,
+                    freeze_discriminator=args.freeze_discriminator,
+                    cfg=cfg,
+                )
             print(
                 f"Step {int(state.step)}, D: {float(m['loss_d']):.4f}, "
                 f"Adv.: {float(m['adv']):.4f}, Mel.: {float(m['mel']):.4f}, "

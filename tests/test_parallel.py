@@ -280,3 +280,34 @@ def test_dp_f0_train_step_runs_and_updates():
     after = state.params["output_layer"]["w"]
     assert not np.allclose(before, np.asarray(after))
     assert after.sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_dp_fine_tune_step_trains_library():
+    """dp fine-tune: three optimizers (decoder, discriminator, voice-library
+    tokens) on pmean'd grads; tokens update and everything stays replicated."""
+    from alivevc_tpu.models.voice_library import init_voice_library
+    from alivevc_tpu.train.fine_tune import dp_fine_tune_step, init_fine_tune
+    from alivevc_tpu.train.gan import init_gan
+
+    mesh = make_mesh([("data", 8)])
+    gan = init_gan(jax.random.PRNGKey(0))
+    vl = init_voice_library(jax.random.PRNGKey(4))
+    state = replicate(init_fine_tune(gan.dec_params, gan.disc_params, vl), mesh)
+    ce = replicate(init_content_encoder(jax.random.PRNGKey(1)), mesh)
+    pe = replicate(init_f0_estimator(jax.random.PRNGKey(2)), mesh)
+
+    t = np.arange(6400) / 16000.0
+    wave = np.stack(
+        [0.5 * np.sin(2 * np.pi * (130 + 10 * i) * t) for i in range(8)]
+    ).astype(np.float32)
+    wave_s = shard_along(jnp.asarray(wave), mesh, "data", 0)
+
+    tokens_before = np.asarray(state.vl_params["tokens"])
+    state, m = dp_fine_tune_step(
+        mesh, state, ce, pe, wave_s, jax.random.PRNGKey(5), use_library=True
+    )
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    assert not np.allclose(tokens_before, np.asarray(state.vl_params["tokens"]))
+    assert state.vl_params["tokens"].sharding.is_fully_replicated
