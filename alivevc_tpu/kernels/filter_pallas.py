@@ -269,7 +269,7 @@ def _stack_kernel(
     hb: int, tb: int, m: int, ftb: int, n_res: int,
     conv_offs, conv_mat0, precision, film_impl: str = "vpu", qmin: int = 0,
 ):
-    if film_impl in ("mxu", "mxu1"):
+    if film_impl in ("mxu", "mxu1", "mxu2"):
         rsel_ref, out_ref = rest
     else:
         (out_ref,) = rest
@@ -322,6 +322,28 @@ def _stack_kernel(
         def film(idx):
             return lax.slice(films_all, (0, idx * w), (tbh, (idx + 1) * w))
 
+    elif film_impl == "mxu2":
+        # hybrid: the contiguous [ftb, 12W] fe layout (one 147 KB DMA per
+        # block instead of 12 strided 12 KB sub-blocks — the skeleton's
+        # prime suspect) + mxu's per-use selector dots.  Each film(idx)
+        # lane-slices its [3ftb, W] frame window (128-aligned, cheap) and
+        # expands with 3 exact selector dots.
+        few2 = jnp.concatenate([fp_ref[0], fc_ref[0], fn_ref[0]], axis=0)
+        kw2 = rsel_ref.shape[-1]
+
+        def film(idx):
+            rows_win = lax.slice(
+                few2, (qmin, idx * w), (qmin + kw2, (idx + 1) * w)
+            ).astype(dt)
+            s0 = lax.dot(rsel_ref[0].astype(dt), rows_win,
+                         preferred_element_type=jnp.float32)
+            s1 = lax.dot(rsel_ref[1].astype(dt), rows_win,
+                         preferred_element_type=jnp.float32)
+            s2 = lax.dot(rsel_ref[2].astype(dt), rows_win,
+                         preferred_element_type=jnp.float32)
+            return (s0.astype(ft) * wa + s1.astype(ft) * wb
+                    + s2.astype(ft) * wc).astype(dt)
+
     else:
         fe = jnp.concatenate([fp_ref[0], fc_ref[0], fn_ref[0]], axis=1)
 
@@ -352,7 +374,7 @@ def _stack_kernel(
         s2 = lax.slice(rep, (off0 + 2 * m, 0), (off0 + 2 * m + tbh, w))
         return (s0 * wa + s1 * wb + s2 * wc).astype(dt)
 
-    if film_impl != "mxu1":
+    if film_impl not in ("mxu1", "mxu2"):
         film = _film_legacy
 
     gelu_fn = (lambda v: v) if "nogelu" in _ABLATE else _gelu_for(dt)
@@ -453,7 +475,7 @@ def _fused_impl(
     if film_impl == "auto":
         film_impl = _FILM_AUTO.get((w, p), "vpu")
     tail = (nt + 1) * ftb - (f + 1)
-    if film_impl == "mxu1":
+    if film_impl in ("mxu1", "mxu2"):
         # lane-stacked layout [N, F_pad, 12W] — all 12 FiLM frame tensors
         # side by side so the kernel expands them with one selector-dot set
         fe = jnp.concatenate([jnp.tile(v, (1, 1, p)) for v in fes], axis=2)
@@ -492,13 +514,13 @@ def _fused_impl(
     wabc = jnp.asarray(_film_tables(r, p, tbh, hb, w))             # [3,TBH,W]
     if film_impl == "mxu1":
         wabc = jnp.tile(wabc, (1, 1, 4 * n_res))                   # [3,TBH,12W]
-    wabc = wabc.astype(dt)
+    wabc = wabc.astype(dt)                  # mxu2 keeps the [3,TBH,W] table
 
     prec = (lax.Precision.HIGHEST if precision == "highest"
             else lax.Precision.DEFAULT)
     qmin = 0
     extra_ops, extra_specs = [], []
-    if film_impl in ("mxu", "mxu1"):
+    if film_impl in ("mxu", "mxu1", "mxu2"):
         qmin, kw, sel = _film_selectors(r, p, tbh, hb, ftb)
         extra_ops.append(jnp.asarray(sel).astype(dt))
         extra_specs.append(
@@ -529,11 +551,12 @@ def _fused_impl(
                     pl.BlockSpec((1, ftb, 4 * n_res * w),
                                  lambda q, t: (q, t + 1, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((3, tbh, 4 * n_res * w),
-                                 lambda q, t: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (3, tbh, 4 * n_res * w if film_impl == "mxu1" else w),
+                        lambda q, t: (0, 0, 0),
+                        memory_space=pltpu.VMEM),
                 ]
-                if film_impl == "mxu1"
+                if film_impl in ("mxu1", "mxu2")
                 else [
                     pl.BlockSpec((1, 4 * n_res, ftb, w),
                                  lambda q, t: (q, 0, jnp.maximum(t - 1, 0), 0),

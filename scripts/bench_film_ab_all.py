@@ -68,15 +68,16 @@ def main():
         return data[lvl]
 
     for case in args.cases.split(","):
-        lvl_s, impl = case.split(":")
-        lvl = int(lvl_s)
+        parts = case.split(":")
+        lvl, impl = int(parts[0]), parts[1]
+        tb = int(parts[2]) if len(parts) > 2 else 0
         c_lvl, p, r_film, blk, x, cond = level_data(lvl)
 
         def scan_steps(x0, cc, k):
             def body(carry, _):
                 out = fused_filter_block(blk, carry, cc, p, c_lvl, r_film,
                                          cfg.filter_kernel_size, "default",
-                                         film_impl=impl)
+                                         tb_override=tb, film_impl=impl)
                 bias = (jnp.sum(out.astype(jnp.float32)) * 1e-30).astype(x0.dtype)
                 return x0 + bias, ()
             carry, _ = jax.lax.scan(body, x0, None, length=k)
@@ -94,8 +95,8 @@ def main():
         float(jnp.sum(jfn(x, cond, args.steps).astype(jnp.float32)))
         dt1 = time.perf_counter() - t0
         dt = (dt1 - dt0) / (args.steps - 1)
-        print(f"level={lvl} film={impl:4s} batch={n}: {dt*1e3:6.2f} ms/step  "
-              f"compile={compile_s:.0f}s", flush=True)
+        print(f"level={lvl} film={impl:4s} tb={tb:4d} batch={n}: "
+              f"{dt*1e3:6.2f} ms/step  compile={compile_s:.0f}s", flush=True)
 
 
 if __name__ == "__main__":
