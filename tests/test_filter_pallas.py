@@ -190,3 +190,30 @@ def test_fused_level_parity_mxu_film(dec, lvl, film):
                                film_impl=film)
         )
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
+
+
+def test_film_selectors_invariants():
+    """Selector matrices are exact one-hot row selectors: one nonzero (=1)
+    per row per tap, taps select frames q, q+1, q+2 with
+    q = (ftb*m - hb + rr) // m — the property that makes the MXU FiLM
+    expansion exact in any matmul precision."""
+    from alivevc_tpu.kernels.filter_pallas import (
+        _film_selectors,
+        _stack_lookback_samples,
+    )
+
+    for (r, p, tb) in ((320, 16, 960), (160, 8, 960), (40, 2, 960)):
+        hb = -(-_stack_lookback_samples(5, 3) // p)
+        ftb = tb * p // r
+        m = r // p
+        tbh = tb + hb
+        qmin, kw, sel = _film_selectors(r, p, tbh, hb, ftb)
+        assert sel.shape == (3, tbh, kw) and kw % 8 == 0
+        # exactly one 1.0 per row per tap, everything else 0
+        assert set(np.unique(sel)) <= {0.0, 1.0}
+        assert (sel.sum(axis=2) == 1.0).all()
+        # tap s selects frame q + s
+        for rr in (0, 1, hb, tbh - 1):
+            q = (ftb * m - hb + rr) // m
+            for s in range(3):
+                assert sel[s, rr].argmax() == q + s - qmin, (r, p, rr, s)
