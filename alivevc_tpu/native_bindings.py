@@ -41,6 +41,17 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.c_double,
             ctypes.POINTER(ctypes.c_double),
         ]
+        try:
+            lib.alive_dio_stonemask_batch.restype = ctypes.c_int32
+            lib.alive_dio_stonemask_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+            ]
+        except AttributeError:   # older .so without the batch entry
+            pass
         lib.alive_ring_create.restype = ctypes.c_void_p
         lib.alive_ring_create.argtypes = [ctypes.c_int64]
         lib.alive_ring_destroy.argtypes = [ctypes.c_void_p]
@@ -88,6 +99,39 @@ def dio_stonemask_native(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return out[:n]
+
+
+def dio_stonemask_native_batch(
+    x: np.ndarray,            # [N, L] float
+    fs: int,
+    f0_floor: float = 40.0,
+    f0_ceil: float = 800.0,
+    frame_period_ms: float = 5.0,
+    channels_in_octave: float = 2.0,
+    allowed_range: float = 0.1,
+    n_threads: int = 0,       # 0 = hardware_concurrency
+) -> np.ndarray:
+    """Threaded batch labeler: [N, L] → f0 [N, F] Hz (0 = unvoiced).
+
+    Items are independent, so the C++ side shards them over a worker pool —
+    the dataset-preparation path (WaveChunkDataset with_f0) goes from one
+    core to all of them."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "alive_dio_stonemask_batch"):
+        raise RuntimeError("native batch labeler not built — run `make -C native`")
+    x32 = np.ascontiguousarray(x, dtype=np.float32)
+    n_items, item_len = x32.shape
+    frames = int(item_len / fs * 1000.0 / frame_period_ms) + 1
+    out = np.zeros((n_items, frames), dtype=np.float64)
+    got = lib.alive_dio_stonemask_batch(
+        x32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_items, item_len, fs, f0_floor, f0_ceil, frame_period_ms,
+        channels_in_octave, allowed_range,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_threads,
+    )
+    if got != frames:
+        raise RuntimeError(f"batch labeler returned {got}, expected {frames}")
+    return out
 
 
 class NativeRingBuffer:

@@ -314,5 +314,15 @@ def compute_f0(
 
     length = wave.shape[1]
     wave8 = np.asarray(resample_jax(jnp.asarray(wave, jnp.float32), sample_rate, 8000))
-    out = np.stack([compute_f0_dio(w) for w in wave8])
+    try:
+        # threaded C++ batch labeler (native/world.cpp): items shard over a
+        # worker pool — dataset prep uses every host core
+        from alivevc_tpu.native_bindings import dio_stonemask_native_batch
+
+        f0 = dio_stonemask_native_batch(wave8, 8000, f0_floor=20.0,
+                                        f0_ceil=4096.0)
+        seg8 = 256   # 8 kHz frames per compute_f0_dio's segment_size
+        out = _interp_linear_np(f0, wave8.shape[1] // seg8)
+    except Exception:
+        out = np.stack([compute_f0_dio(w) for w in wave8])
     return _interp_linear_np(out, length // segment_size).astype(np.float32)

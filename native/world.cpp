@@ -21,6 +21,8 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <thread>
+#include <atomic>
 
 namespace {
 
@@ -346,6 +348,44 @@ int32_t alive_dio_stonemask(const float* x_in, int32_t n, int32_t fs,
         refine_frame(x, fs, frame_t[i], refine_frame(x, fs, frame_t[i], f0[i]));
   }
   return n_frames;
+}
+
+// Batched, threaded labeler for dataset preparation: items are independent
+// (alive_dio_stonemask uses only locals), so shard them over a worker pool.
+// x: [n_items, item_len] row-major; f0_out: [n_items, frames_per_item]
+// row-major with frames_per_item = item_len/fs*1000/frame_period + 1.
+// Returns frames_per_item (same for every item), or -1 on bad args.
+int32_t alive_dio_stonemask_batch(const float* x, int32_t n_items,
+                                  int32_t item_len, int32_t fs,
+                                  double f0_floor, double f0_ceil,
+                                  double frame_period_ms,
+                                  double channels_in_octave,
+                                  double allowed_range, double* f0_out,
+                                  int32_t n_threads) {
+  if (n_items <= 0 || item_len <= 0) return -1;
+  const int frames = static_cast<int>(
+      item_len / static_cast<double>(fs) * 1000.0 / frame_period_ms) + 1;
+  if (n_threads <= 0) {
+    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min<int32_t>(n_threads, n_items);
+  std::atomic<int32_t> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      const int32_t i = next.fetch_add(1);
+      if (i >= n_items) break;
+      alive_dio_stonemask(x + static_cast<int64_t>(i) * item_len, item_len,
+                          fs, f0_floor, f0_ceil, frame_period_ms,
+                          channels_in_octave, allowed_range,
+                          f0_out + static_cast<int64_t>(i) * frames);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int32_t t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return frames;
 }
 
 }  // extern "C"

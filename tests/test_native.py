@@ -139,3 +139,31 @@ def test_ring_buffer_concurrent_stress():
     assert not tp.is_alive() and not tc.is_alive()
     stream = np.concatenate(consumed)
     np.testing.assert_array_equal(stream, seq)
+
+
+def test_batch_labeler_equals_per_item():
+    """The threaded batch labeler (alive_dio_stonemask_batch) must produce
+    exactly the per-item native path's output — items are independent and
+    the C++ worker pool only shards them."""
+    import numpy as np
+    import pytest
+
+    from alivevc_tpu.native_bindings import native_available
+
+    if not native_available():
+        pytest.skip("native library not built")
+    from alivevc_tpu.native_bindings import (
+        dio_stonemask_native,
+        dio_stonemask_native_batch,
+    )
+
+    fs, L = 8000, 8000
+    t = np.arange(L) / fs
+    waves = np.stack(
+        [(0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+         for f in (110.0, 170.0, 230.0, 90.0)]
+    )
+    batch = dio_stonemask_native_batch(waves, fs, f0_floor=20.0, f0_ceil=4096.0)
+    for i, w in enumerate(waves):
+        item = dio_stonemask_native(w, fs, f0_floor=20.0, f0_ceil=4096.0)
+        np.testing.assert_allclose(batch[i][: len(item)], item, rtol=0, atol=0)
