@@ -52,7 +52,7 @@ class WaveChunkDataset:
         if max_files != -1:
             paths = paths[:max_files]
 
-        chunks, f0s = [], []
+        chunks = []
         for path in paths:
             decoded = read_audio(path)  # mp3/ogg/flac via ffmpeg when on PATH
             if decoded is None:
@@ -63,14 +63,16 @@ class WaveChunkDataset:
             for i in range(n):
                 w = wave[0, i * length : (i + 1) * length]
                 chunks.append(w.astype(np.float32))
-                if with_f0:
-                    from alivevc_tpu.ops.world import compute_f0
-
-                    f0s.append(compute_f0(w[None], sampling_rate)[0])
         self.chunks = (
             np.stack(chunks) if chunks else np.zeros((0, length), np.float32)
         )
-        self.f0 = np.stack(f0s) if f0s else None
+        self.f0 = None
+        if with_f0 and chunks:
+            # one batched call — the threaded C++ labeler shards the chunks
+            # over every host core (alive_dio_stonemask_batch)
+            from alivevc_tpu.ops.world import compute_f0
+
+            self.f0 = compute_f0(self.chunks, sampling_rate)
         self.length = length
 
     def __len__(self) -> int:
