@@ -68,11 +68,15 @@ class WaveChunkDataset:
         )
         self.f0 = None
         if with_f0 and chunks:
-            # one batched call — the threaded C++ labeler shards the chunks
-            # over every host core (alive_dio_stonemask_batch)
+            # batched calls — the threaded C++ labeler shards each batch
+            # over every host core (alive_dio_stonemask_batch); 256 chunks
+            # per call bounds the resample scratch on huge datasets
             from alivevc_tpu.ops.world import compute_f0
 
-            self.f0 = compute_f0(self.chunks, sampling_rate)
+            self.f0 = np.concatenate([
+                compute_f0(self.chunks[i : i + 256], sampling_rate)
+                for i in range(0, len(chunks), 256)
+            ])
         self.length = length
 
     def __len__(self) -> int:
