@@ -1,0 +1,46 @@
+"""Interpret-mode checks for the PROTOTYPE two-pass licensed-bf16 kNN
+(kernels/knn_twopass.py — round-5 candidate, not in production paths)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from alivevc_tpu.kernels.knn_twopass import knn_topk_twopass
+from alivevc_tpu.ops.knn import topk_cosine_chunked
+
+
+def test_twopass_quality_vs_exact():
+    """Same license as the production bf16 'default' mode: every returned
+    neighbour's true fp32 similarity within a small margin of the exact
+    k-th best, and a bounded flip rate."""
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.standard_normal((128, 768)).astype(np.float32))
+    lib = jnp.asarray(rng.standard_normal((2048, 768)).astype(np.float32))
+    want_v, want_i = topk_cosine_chunked(src, lib, 4)
+    with pltpu.force_tpu_interpret_mode():
+        got_v, got_i = knn_topk_twopass(src, lib, 4, tile=512)
+    srcn = np.asarray(src) / np.linalg.norm(src, axis=-1, keepdims=True)
+    libn = np.asarray(lib) / np.linalg.norm(lib, axis=-1, keepdims=True)
+    true_sims = np.take_along_axis(srcn @ libn.T, np.asarray(got_i), axis=1)
+    kth_best = np.asarray(want_v)[:, -1:]
+    assert np.all(true_sims >= kth_best - 2e-3)
+    # reported (packed) values stay close to the true sims of those indices
+    np.testing.assert_allclose(np.asarray(got_v), true_sims, atol=2e-2)
+    flips = np.any(np.sort(np.asarray(want_i), 1) != np.sort(np.asarray(got_i), 1), 1)
+    assert flips.mean() <= 0.06, flips.mean()
+
+
+def test_twopass_padding_and_single_tile():
+    """Library smaller than one tile + non-multiple row count: padding
+    columns must never win."""
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.standard_normal((17, 768)).astype(np.float32))
+    lib = jnp.asarray(rng.standard_normal((300, 768)).astype(np.float32))
+    _, want_i = topk_cosine_chunked(src, lib, 4)
+    with pltpu.force_tpu_interpret_mode():
+        _, got_i = knn_topk_twopass(src, lib, 4, tile=512)
+    assert np.asarray(got_i).max() < 300
+    # bf16 rounding may flip near-ties; require high agreement, not equality
+    agree = np.mean(np.sort(np.asarray(want_i), 1) == np.sort(np.asarray(got_i), 1))
+    assert agree > 0.9, agree
