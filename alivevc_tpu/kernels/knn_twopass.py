@@ -70,7 +70,7 @@ def _tile_kernel(src_ref, lib_ref, out_ref, *, k: int, tile: int, lr: int,
         m = jnp.max(packed, axis=1, keepdims=True)           # [Ls, 1]
         outs.append(m)
         packed = jnp.where(packed == m, _NEG, packed)
-    out_ref[:] = jnp.concatenate(outs, axis=1)[:, None, :]   # [Ls, 1, k]
+    out_ref[:] = jnp.concatenate(outs, axis=1)[None]         # [1, Ls, k]
 
 
 def _merge_kernel(cand_ref, out_v_ref, out_i_ref, *, k: int, tile: int,
@@ -144,16 +144,16 @@ def knn_topk_twopass(
             pl.BlockSpec((tile, d), lambda q, t: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((q_tile, 1, k), lambda q, t: (q, t, 0),
+        out_specs=pl.BlockSpec((1, q_tile, k), lambda q, t: (t, q, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((lsp, n_tiles, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, lsp, k), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(src, lib)
 
-    cand2 = cand.reshape(lsp, n_tiles * k)
+    cand2 = jnp.transpose(cand, (1, 0, 2)).reshape(lsp, n_tiles * k)
     vals, idx = pl.pallas_call(
         functools.partial(_merge_kernel, k=k, tile=tile, nbits=nbits,
                           n_tiles=n_tiles),
