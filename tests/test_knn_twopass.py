@@ -1,5 +1,6 @@
-"""Interpret-mode checks for the PROTOTYPE two-pass licensed-bf16 kNN
-(kernels/knn_twopass.py — round-5 candidate, not in production paths)."""
+"""Interpret-mode checks for the two-pass licensed-bf16 kNN
+(kernels/knn_twopass.py — the production route for
+``knn_topk_pallas(precision='default')`` with no penalty column)."""
 
 import numpy as np
 
@@ -42,5 +43,51 @@ def test_twopass_padding_and_single_tile():
         _, got_i = knn_topk_twopass(src, lib, 4, tile=512)
     assert np.asarray(got_i).max() < 300
     # bf16 rounding may flip near-ties; require high agreement, not equality
+    agree = np.mean(np.sort(np.asarray(want_i), 1) == np.sort(np.asarray(got_i), 1))
+    assert agree > 0.9, agree
+
+
+def test_default_precision_routes_to_twopass():
+    """The production entry point's licensed mode IS the two-pass kernel:
+    knn_topk_pallas(precision='default', penalty=None) must return the
+    two-pass kernel's outputs bit-for-bit (routing guard — a silent fall
+    back to the carried kernel would change perf without failing parity)."""
+    from alivevc_tpu.kernels.knn_pallas import knn_topk_pallas
+
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.standard_normal((64, 768)).astype(np.float32))
+    lib = jnp.asarray(rng.standard_normal((1024, 768)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        v_prod, i_prod = knn_topk_pallas(src, lib, 4, precision="default")
+        v_two, i_two = knn_topk_twopass(src, lib, 4, tile=512)
+    np.testing.assert_array_equal(np.asarray(i_prod), np.asarray(i_two))
+    np.testing.assert_array_equal(np.asarray(v_prod), np.asarray(v_two))
+
+
+def test_default_precision_with_penalty_keeps_carried_kernel():
+    """The sharded-retrieval path passes a penalty column; it must stay on
+    the carried kernel (the two-pass packing assumes scores in [-1, 1]) and
+    penalized rows must never be returned."""
+    from alivevc_tpu.kernels.knn_pallas import knn_topk_pallas
+
+    rng = np.random.default_rng(11)
+    src = jnp.asarray(rng.standard_normal((32, 768)).astype(np.float32))
+    lib = jnp.asarray(rng.standard_normal((640, 768)).astype(np.float32))
+    pen = jnp.where(jnp.arange(640) >= 512, -10.0, 0.0).astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        _, idx = knn_topk_pallas(src, lib, 4, precision="default", penalty=pen)
+    assert np.asarray(idx).max() < 512
+
+
+def test_twopass_ragged_query_count():
+    """Query counts that are not multiples of 8/q_tile pad internally and
+    crop exactly (the e2e batched match flattens 64 windows x 45 frames)."""
+    rng = np.random.default_rng(13)
+    src = jnp.asarray(rng.standard_normal((13, 768)).astype(np.float32))
+    lib = jnp.asarray(rng.standard_normal((2048, 768)).astype(np.float32))
+    _, want_i = topk_cosine_chunked(src, lib, 4)
+    with pltpu.force_tpu_interpret_mode():
+        vals, got_i = knn_topk_twopass(src, lib, 4, tile=512)
+    assert vals.shape == (13, 4) and got_i.shape == (13, 4)
     agree = np.mean(np.sort(np.asarray(want_i), 1) == np.sort(np.asarray(got_i), 1))
     assert agree > 0.9, agree
