@@ -214,6 +214,48 @@ def _film_tables(r: int, p: int, tbh: int, hb: int, w: int) -> np.ndarray:
     return out
 
 
+def _up_matrix(w3u: jax.Array, bu: jax.Array, p_in: int, p_out: int,
+               r_up: int):
+    """Fused-up-prologue geometry: one matmul matrix for the transposed
+    rate conv that feeds a level (cf. filter_packed._packed_linear 'up').
+
+    Form A (R = p_out/(r_up*p_in) >= 1): the caller presents the input as a
+    lane-concat view [N, B_in/R, R*W_in] (a FREE reshape — row-major bytes
+    are identical), and out[b] = view[b] @ upmat with
+    upmat[delta*W_in:(delta+1)*W_in] = M_delta.  Rows are then 1:1 with the
+    level's packed rows, so the level kernel's halo machinery applies
+    unchanged.
+
+    Form B (q = 1/R > 1): out rows come q-per-input-row:
+    z = x_in @ upmat gives [B_in, q*W]; unfolding its lane blocks into rows
+    ([A, q*W] -> [A*q, W], pure row-major) yields the packed level tensor.
+
+    Returns (form, R_or_q, upmat, bias_row [W]).
+    """
+    from alivevc_tpu.models.filter_packed import _sel_op
+
+    form, rq, sels = _sel_op("up", r_up, 0, p_in, p_out)
+    cin, cout = w3u.shape[1], w3u.shape[2]
+    w_in = p_in * cin
+    if form == "A":
+        by_delta = dict(sels)
+        mats = []
+        for delta in range(rq):
+            sel = by_delta.get(delta)
+            if sel is None:
+                mats.append(jnp.zeros((w_in, p_out * cout), w3u.dtype))
+            else:
+                m = jnp.einsum("jqp,jio->qipo", jnp.asarray(sel), w3u)
+                mats.append(m.reshape(w_in, p_out * cout).astype(w3u.dtype))
+        upmat = jnp.concatenate(mats, axis=0)          # [R*W_in, W]
+    else:
+        ((delta0, sel),) = sels        # 'up' form B always has delta 0 only
+        assert delta0 == 0
+        m = jnp.einsum("jqs,jio->qiso", jnp.asarray(sel), w3u)
+        upmat = m.reshape(w_in, rq * p_out * cout).astype(w3u.dtype)
+    return form, rq, upmat, jnp.tile(bu, p_out)
+
+
 def _shift_mats(w3: jax.Array, p: int, dilation: int):
     """Per-block-shift matmul matrices for a packed causal conv.
 
@@ -264,21 +306,46 @@ _FILM_AUTO: dict = {(128, 16): "mxu", (128, 8): "mxu"}
 
 
 def _stack_kernel(
-    xp_ref, xc_ref, fp_ref, fc_ref, fn_ref, wabc_ref, mats_ref, bias_ref,
-    *rest,
+    xp_ref, xc_ref, *refs,
     hb: int, tb: int, m: int, ftb: int, n_res: int,
     conv_offs, conv_mat0, precision, film_impl: str = "vpu", qmin: int = 0,
+    up_form: str | None = None, upq: int = 1,
 ):
+    if up_form:
+        (sp_ref, sc_ref, fp_ref, fc_ref, fn_ref, wabc_ref, mats_ref,
+         bias_ref, upmat_ref, *rest) = refs
+    else:
+        fp_ref, fc_ref, fn_ref, wabc_ref, mats_ref, bias_ref, *rest = refs
     if film_impl in ("mxu", "mxu1", "mxu2"):
         rsel_ref, out_ref = rest
     else:
         (out_ref,) = rest
-    w = xc_ref.shape[-1]
+    w = out_ref.shape[-1]
     tbh = hb + tb
     t = pl.program_id(1)
     dt = xc_ref.dtype
 
-    xh = jnp.concatenate([xp_ref[0][tb - hb :], xc_ref[0]], axis=0)  # [TBH, W]
+    if up_form == "A":
+        # fused up-conv prologue: xp/xc (and sp/sc) are lane-concat VIEWS of
+        # the previous level's packed tensor (rows 1:1 with this level's);
+        # one matmul applies the whole transposed rate conv + skip add
+        xin = jnp.concatenate([xp_ref[0][tb - hb :], xc_ref[0]], axis=0)
+        sin = jnp.concatenate([sp_ref[0][tb - hb :], sc_ref[0]], axis=0)
+        zin = lax.dot(xin + sin, upmat_ref[:].astype(dt),
+                      preferred_element_type=jnp.float32, precision=precision)
+        xh = (zin + bias_ref[1 + 2 * n_res].astype(jnp.float32)).astype(dt)
+    elif up_form == "B":
+        # q output rows per input row: z holds them as lane blocks; the
+        # [A, q*W] -> [A*q, W] reshape is a pure row-major unfold
+        tbi, hbi = tb // upq, hb // upq
+        xin = jnp.concatenate([xp_ref[0][tbi - hbi :], xc_ref[0]], axis=0)
+        sin = jnp.concatenate([sp_ref[0][tbi - hbi :], sc_ref[0]], axis=0)
+        z = lax.dot(xin + sin, upmat_ref[:].astype(dt),
+                    preferred_element_type=jnp.float32, precision=precision)
+        z = z.reshape(tbh, w)
+        xh = (z + bias_ref[1 + 2 * n_res].astype(jnp.float32)).astype(dt)
+    else:
+        xh = jnp.concatenate([xp_ref[0][tb - hb :], xc_ref[0]], axis=0)  # [TBH, W]
     first = t == 0
     halo = lax.broadcasted_iota(jnp.int32, (tbh, 1), 0) < hb
 
@@ -428,7 +495,7 @@ def fused_supported(b: int, p: int, c: int, r: int, f: int,
 
 def _fused_impl(
     blk: Params,
-    x: jax.Array,          # [N, B, W] packed level tensor
+    x: jax.Array | None,   # [N, B, W] packed level tensor (None when `up`)
     cond: jax.Array,       # [N, F, C_cond] frame-rate conditioning
     p: int,                # samples per packed row
     c: int,                # logical channels
@@ -437,27 +504,48 @@ def _fused_impl(
     precision: str = "default",
     tb_override: int = 0,
     film_impl: str = "auto",
+    up=None,               # (w3u, bu, p_in, r_up, x_prev, skip) or None
 ) -> jax.Array:
     """models.filter_packed._filter_block_packed, fused into one Pallas
     program per (window, time tile).  Exact up to float summation order; the
     reflect-pad head (first HB rows) is recomputed by the XLA packed path.
 
     film_impl: 'vpu' (broadcast/slice expansion), 'mxu' (selector matmuls,
-    _film_selectors), or 'auto' (measured-per-level choice)."""
-    from alivevc_tpu.models.filter_packed import _filter_block_packed
+    _film_selectors), or 'auto' (measured-per-level choice).
 
-    n, b, w = x.shape
+    up: when given, the level's input is computed IN-KERNEL from the
+    previous level's packed tensor: x = up_conv(x_prev + skip) — the U-Net
+    up path's transposed rate conv, skip add, and inter-level relayout all
+    fold into the level kernel's prologue (cf. reference
+    module/decoder.py:148-158 up path; r5 glue fusion)."""
+    from alivevc_tpu.models.filter_packed import (
+        _filter_block_packed,
+        _packed_linear,
+    )
+
+    w = p * c if c <= 128 else c
+    up_form, upq, upmat, up_bias = None, 1, None, None
+    if up is not None:
+        w3u, bu, p_in, r_up, x_prev, skip = up
+        n, b_in, w_in = x_prev.shape
+        up_form, upq, upmat, up_bias = _up_matrix(w3u, bu, p_in, p, r_up)
+        b = b_in // upq if up_form == "A" else b_in * upq
+        dt = x_prev.dtype
+    else:
+        n, b, w = x.shape
+        dt = x.dtype
     f = cond.shape[1]
     n_res = len(blk["blocks"])
-    dt = x.dtype
 
     hb = -(-_stack_lookback_samples(k, n_res) // p)
+    if up_form == "B":
+        hb = upq * (-(-hb // upq))     # input-halo alignment: q | hb
     if tb_override:
         tb, b_pad = tb_override, -(-b // tb_override) * tb_override
     else:
         tb, b_pad = _choose_tb(b, p, r, w, hb, jnp.dtype(dt).itemsize)
     nt = b_pad // tb
-    if b_pad > b:
+    if up is None and b_pad > b:
         x = jnp.pad(x, ((0, 0), (0, b_pad - b), (0, 0)))
     ftb = tb * p // r
     m = r // p
@@ -510,7 +598,9 @@ def _fused_impl(
             mats_list.append(mats)
             biases.append(jnp.tile(conv_p["b"], p))
     mats_all = jnp.concatenate(mats_list, axis=0).astype(dt)       # [NM, W, W]
-    bias_all = jnp.stack(biases).astype(jnp.float32)               # [7, W]
+    if up is not None:
+        biases.append(up_bias)          # row 1+2*n_res: fused up-conv bias
+    bias_all = jnp.stack(biases).astype(jnp.float32)               # [7(+1), W]
     wabc = jnp.asarray(_film_tables(r, p, tbh, hb, w))             # [3,TBH,W]
     if film_impl == "mxu1":
         wabc = jnp.tile(wabc, (1, 1, 4 * n_res))                   # [3,TBH,12W]
@@ -530,16 +620,54 @@ def _fused_impl(
     kernel = functools.partial(
         _stack_kernel, hb=hb, tb=tb, m=m, ftb=ftb, n_res=n_res,
         conv_offs=tuple(conv_offs), conv_mat0=tuple(conv_mat0), precision=prec,
-        film_impl=film_impl, qmin=qmin,
+        film_impl=film_impl, qmin=qmin, up_form=up_form, upq=upq,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(n, nt),
-        in_specs=[
+    if up is None:
+        lead_ops = (x, x)
+        lead_specs = [
             pl.BlockSpec((1, tb, w), lambda q, t: (q, jnp.maximum(t - 1, 0), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tb, w), lambda q, t: (q, t, 0),
                          memory_space=pltpu.VMEM),
+        ]
+        up_ops, up_specs = (), []
+    else:
+        if up_form == "A":
+            # lane-concat view: [N, B_in, W_in] -> [N, B_in/R, R*W_in] is a
+            # pure row-major reinterpretation (same bytes); rows become 1:1
+            # with this level's packed rows
+            xv = x_prev.reshape(n, b_in // upq, upq * w_in)
+            sv = skip.reshape(n, b_in // upq, upq * w_in)
+            tbv, wv = tb, upq * w_in
+        else:
+            xv, sv = x_prev, skip
+            tbv, wv = tb // upq, w_in
+        rows_pad = nt * tbv
+        if rows_pad > xv.shape[1]:
+            padr = rows_pad - xv.shape[1]
+            xv = jnp.pad(xv, ((0, 0), (0, padr), (0, 0)))
+            sv = jnp.pad(sv, ((0, 0), (0, padr), (0, 0)))
+        lead_ops = (xv, xv, sv, sv)
+        lead_specs = [
+            pl.BlockSpec((1, tbv, wv), lambda q, t: (q, jnp.maximum(t - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tbv, wv), lambda q, t: (q, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tbv, wv), lambda q, t: (q, jnp.maximum(t - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tbv, wv), lambda q, t: (q, t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        up_ops = (upmat.astype(dt),)
+        up_specs = [
+            pl.BlockSpec(upmat.shape, lambda q, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, nt),
+        in_specs=[
+            *lead_specs,
             *(
                 [
                     pl.BlockSpec((1, ftb, 4 * n_res * w),
@@ -575,6 +703,7 @@ def _fused_impl(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(bias_all.shape, lambda q, t: (0, 0),
                          memory_space=pltpu.VMEM),
+            *up_specs,
             *extra_specs,
         ],
         out_specs=pl.BlockSpec((1, tb, w), lambda q, t: (q, t, 0),
@@ -587,7 +716,7 @@ def _fused_impl(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(x, x, fe, fe, fe, wabc, mats_all, bias_all, *extra_ops)
+    )(*lead_ops, fe, fe, fe, wabc, mats_all, bias_all, *up_ops, *extra_ops)
 
     # reflect-pad head: the kernel's zero-pad bulk differs from the reference
     # for the first HB rows; recompute them exactly (causal => a head strip
@@ -595,7 +724,15 @@ def _fused_impl(
     # with dynamic_update_slice — XLA updates the dead `out` buffer in place,
     # where a concatenate would write a fresh full-size level tensor
     # (147-295 MB at the bench shape) just to replace HB rows.
-    head = _filter_block_packed(blk, x[:, :hb], cond, p, c, r, hb)
+    if up is None:
+        head_in = x[:, :hb]
+    else:
+        s_in = upq * hb if up_form == "A" else hb // upq
+        head_in = _packed_linear(
+            x_prev[:, :s_in] + skip[:, :s_in], w3u, bu, "up", r_up, 0,
+            p_in, p, hb,
+        ).astype(dt)
+    head = _filter_block_packed(blk, head_in, cond, p, c, r, hb)
     out = lax.dynamic_update_slice(out, head.astype(dt), (0, 0, 0))
     return out[:, :b]
 
@@ -649,3 +786,103 @@ def fused_filter_block(
     film_impl: str = "auto",
 ) -> jax.Array:
     return _fused_cvjp(p, c, r, k, precision, tb_override, film_impl, blk, x, cond)
+
+
+# ---- fused up-conv prologue variant (r5 glue fusion) ----------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
+def _fused_up_cvjp(p_in, p, c, r, r_up, k, precision, tb_override, film_impl,
+                   blk, w3u, bu, x_prev, skip, cond):
+    return _fused_impl(blk, None, cond, p, c, r, k, precision, tb_override,
+                       film_impl, up=(w3u, bu, p_in, r_up, x_prev, skip))
+
+
+def _fused_up_cvjp_fwd(p_in, p, c, r, r_up, k, precision, tb_override,
+                       film_impl, blk, w3u, bu, x_prev, skip, cond):
+    out = _fused_up_cvjp(p_in, p, c, r, r_up, k, precision, tb_override,
+                         film_impl, blk, w3u, bu, x_prev, skip, cond)
+    return out, (blk, w3u, bu, x_prev, skip, cond)
+
+
+def _fused_up_cvjp_bwd(p_in, p, c, r, r_up, k, precision, tb_override,
+                       film_impl, res, g):
+    from alivevc_tpu.models.filter_packed import (
+        _filter_block_packed,
+        _packed_linear,
+        _sel_op,
+    )
+
+    blk, w3u, bu, x_prev, skip, cond = res
+    form, rq, _ = _sel_op("up", r_up, 0, p_in, p)
+    b_out = x_prev.shape[1] // rq if form == "A" else x_prev.shape[1] * rq
+
+    def f(blk_, w3u_, bu_, xp_, sk_, c_):
+        xup = _packed_linear(xp_ + sk_, w3u_, bu_, "up", r_up, 0, p_in, p,
+                             b_out)
+        return _filter_block_packed(blk_, xup, c_, p, c, r, b_out)
+
+    _, vjp = jax.vjp(f, blk, w3u, bu, x_prev, skip, cond)
+    return vjp(g)
+
+
+_fused_up_cvjp.defvjp(_fused_up_cvjp_fwd, _fused_up_cvjp_bwd)
+
+
+def fused_filter_block_up(
+    blk: Params,
+    w3u: jax.Array,        # [r_up, C_in, C] transposed-conv weight
+    bu: jax.Array,         # [C]
+    x_prev: jax.Array,     # [N, B_in, W_in] previous level's packed tensor
+    skip: jax.Array,       # [N, B_in, W_in] down-path skip (added pre-up)
+    cond: jax.Array,
+    p_in: int,
+    p: int,
+    c: int,
+    r: int,
+    r_up: int,
+    k: int = 5,
+    precision: str = "default",
+    tb_override: int = 0,
+    film_impl: str = "auto",
+) -> jax.Array:
+    """Level kernel with the U-Net up path fused in: computes
+    filter_block(up_conv(x_prev + skip)) in one Pallas program — the
+    transposed rate conv, skip add, and inter-level relayout never touch
+    HBM (reference semantics: module/decoder.py:148-158 + 122-146)."""
+    return _fused_up_cvjp(p_in, p, c, r, r_up, k, precision, tb_override,
+                          film_impl, blk, w3u, bu, x_prev, skip, cond)
+
+
+def fused_up_supported(b_in: int, p_in: int, c_in: int, p: int, c: int,
+                       r: int, f: int, r_up: int, k: int = 5,
+                       n_res: int = 3, itemsize: int = 2) -> bool:
+    """Geometry check for the fused-up path (analog of fused_supported)."""
+    from alivevc_tpu.models.filter_packed import _sel_op
+
+    w = p * c if c <= 128 else c
+    if w not in (128, 256) or r % max(p, 1):
+        return False
+    try:
+        form, rq, _ = _sel_op("up", r_up, 0, p_in, p)
+    except (ValueError, AssertionError):
+        return False
+    if form == "A":
+        if b_in % rq:
+            return False
+        b = b_in // rq
+    else:
+        b = b_in * rq
+    hb = -(-_stack_lookback_samples(k, n_res) // p)
+    if form == "B":
+        hb = rq * (-(-hb // rq))
+    tb, _ = _choose_tb(b, p, r, w, hb, itemsize)
+    if not tb:
+        return False
+    if form == "B" and (tb % rq or (tb // rq) % 8 or (hb // rq) >= tb // rq):
+        return False
+    s_in = rq * hb if form == "A" else hb // rq
+    if s_in > b_in:
+        return False
+    ftb = tb * p // r
+    return tb > hb and ftb >= 1 and hb < b

@@ -220,20 +220,25 @@ def knn_topk_pallas(
     """
     ls, d = source.shape
     lr = library.shape[0]
+    assert lr >= k, f"library has {lr} rows < k={k}"
     tile = min(tile, max(512, 1 << (lr - 1).bit_length()))
 
-    if precision == "default" and extraction == "auto" and penalty is None:
-        # Licensed bf16 mode routes to the two-pass kernel (knn_twopass.py):
-        # parallel per-tile packed extraction + exact merge measured 36.0 ms
-        # vs 53.7 ms for the carried single-pass kernel at the bench shape
-        # (28.8k queries x 100k frames, scripts/bench_knn_twopass.py,
-        # 2026-08-20; top-k set disagreement vs the carried kernel 1.6% —
-        # same license class, gates in tests/test_bf16_license.py).  The
-        # exact modes and the penalty path (sharded retrieval's padding
-        # exclusion) keep the carried kernel below.
+    if extraction == "auto" and lr >= 4096:
+        # Large libraries route to the two-pass kernels (knn_twopass.py):
+        # parallel per-tile extraction + exact hierarchical merge.  Measured
+        # at the bench shape (28.8k queries x 100k frames,
+        # scripts/bench_knn_twopass.py): licensed bf16 packed 36.0 ms vs
+        # 53.7 ms carried; the r5 EXACT two-pass covers 'high'/'highest'
+        # and the penalty path (sharded retrieval) with ranking identical
+        # to the carried kernel — no mode pays the sequential carry.
+        # Small libraries (e.g. streaming's 512-row library) keep the
+        # carried kernel: two kernel launches + an HBM candidate round
+        # trip would dominate at that size.
         from alivevc_tpu.kernels.knn_twopass import knn_topk_twopass
 
-        return knn_topk_twopass(source, library, k=k, tile=tile, q_tile=q_tile)
+        return knn_topk_twopass(source, library, k=k, tile=tile,
+                                q_tile=q_tile, precision=precision,
+                                penalty=penalty)
 
     def normalize(x):
         x = x.astype(jnp.float32)

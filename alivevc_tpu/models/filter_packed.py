@@ -276,6 +276,28 @@ def _fused_filter_mode() -> str:
     return "auto" if jax.default_backend() == "tpu" else "off"
 
 
+def _fused_up_ok(x, pin, pout, cout, r_film, f, r_up, k, n_res) -> bool:
+    """True when the level can run the r5 fused-up kernel (up conv + skip
+    add + res-block stack in one Pallas program).  Gated by the same env
+    switch as the plain fused path; ALIVEVC_FUSED_UP=0 disables just the
+    up fusion (A/B lever for benches)."""
+    import os
+
+    if os.environ.get("ALIVEVC_FUSED_UP") == "0":
+        return False
+    mode = _fused_filter_mode()
+    if mode == "off":
+        return False
+    if mode != "all" and (pout * cout if cout <= 128 else cout) not in (128, 256):
+        return False
+    from alivevc_tpu.kernels.filter_pallas import fused_up_supported
+
+    return fused_up_supported(
+        x.shape[1], pin, x.shape[2] // max(pin, 1), pout, cout, r_film, f,
+        r_up, k, n_res, x.dtype.itemsize,
+    )
+
+
 def _filter_block_dispatch(pp, x, cond, p, c, r, b_out, k):
     mode = _fused_filter_mode()
     if mode != "off" and (mode == "all" or p * c in (128, 256)):
@@ -402,10 +424,20 @@ def filter_unet_packed(
         pout = ps[lvl]
         b_out = bs[lvl]
         w3 = up["w"].reshape(cin, r, cout).transpose(1, 0, 2)
-        x = _packed_linear(x + skip, w3, up["b"], "up", r, 0, pin, pout, b_out)
         r_film = lens[lvl] // f
-        x = _filter_block_dispatch(blk, x, c, pout, cout, r_film, b_out,
-                                   cfg.filter_kernel_size)
+        if _fused_up_ok(x, pin, pout, cout, r_film, f, r,
+                        cfg.filter_kernel_size, len(blk["blocks"])):
+            from alivevc_tpu.kernels.filter_pallas import fused_filter_block_up
+
+            x = fused_filter_block_up(
+                blk, w3, up["b"], x, skip, c, pin, pout, cout, r_film, r,
+                cfg.filter_kernel_size,
+            )
+        else:
+            x = _packed_linear(x + skip, w3, up["b"], "up", r, 0, pin, pout,
+                               b_out)
+            x = _filter_block_dispatch(blk, x, c, pout, cout, r_film, b_out,
+                                       cfg.filter_kernel_size)
 
     # wave-out conv: stride-1 k=7 pad 3, chans[0] → 1
     w_out = p["source_out"]["w"]

@@ -192,6 +192,121 @@ def test_fused_level_parity_mxu_film(dec, lvl, film):
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
 
 
+def _up_level(i):
+    """Geometry of up-loop step i (i=0 deepest) at the test window LW."""
+    chans = list(CFG.filter_channels)
+    rates = list(CFG.filter_rates)
+    lens = [LW]
+    for r in rates:
+        lens.append(lens[-1] // r)
+    ps = [_pfac(ch) for ch in chans]
+    lvl = len(chans) - 1 - i
+    pin = ps[lvl + 1] if lvl + 1 < len(chans) else 1
+    cin = chans[lvl + 1] if lvl + 1 < len(chans) else chans[-1]
+    pout, cout = ps[lvl], chans[lvl]
+    b_in = lens[lvl + 1] // pin
+    b_out = lens[lvl] // pout
+    r_film = lens[lvl] // F
+    r_up = rates[lvl]
+    return pin, cin, pout, cout, b_in, b_out, r_film, r_up, lvl
+
+
+@pytest.mark.parametrize("i", [0, 1, 2, 3])
+def test_fused_up_level_parity(dec, i):
+    """r5 fused-up kernel (up conv + skip add + stack in one program) vs the
+    XLA packed reference, every up-level geometry of the default config —
+    covers both form A (lane-concat view) and form B (in-kernel unfold)."""
+    from alivevc_tpu.kernels.filter_pallas import (
+        fused_filter_block_up,
+        fused_up_supported,
+    )
+    from alivevc_tpu.models.filter_packed import _packed_linear
+
+    pin, cin, pout, cout, b_in, b_out, r_film, r_up, lvl = _up_level(i)
+    blk = dec["filter"]["blocks"][i]
+    up = dec["filter"]["ups"][i]
+    w3 = up["w"].reshape(cin, r_up, cout).transpose(1, 0, 2)
+    assert fused_up_supported(b_in, pin, cin, pout, cout, r_film, F, r_up,
+                              itemsize=4)
+    rng = np.random.default_rng(30 + i)
+    xp = jnp.asarray(rng.standard_normal((2, b_in, pin * cin)).astype(np.float32) * 0.3)
+    sk = jnp.asarray(rng.standard_normal((2, b_in, pin * cin)).astype(np.float32) * 0.3)
+    cond = jnp.asarray(rng.standard_normal((2, F, CFG.channels)).astype(np.float32) * 0.5)
+    xup = _packed_linear(xp + sk, w3, up["b"], "up", r_up, 0, pin, pout, b_out)
+    want = np.asarray(_filter_block_packed(blk, xup, cond, pout, cout,
+                                           r_film, b_out))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fused_filter_block_up(blk, w3, up["b"], xp, sk, cond, pin, pout,
+                                  cout, r_film, r_up, precision="highest")
+        )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
+
+
+@pytest.mark.parametrize("i,tb", [(0, 160), (1, 320), (3, 160)])
+def test_fused_up_multitile(dec, i, tb):
+    """Forced small tiles exercise the input-side halo (prev view tile) for
+    both up forms."""
+    from alivevc_tpu.kernels.filter_pallas import fused_filter_block_up
+    from alivevc_tpu.models.filter_packed import _packed_linear
+
+    pin, cin, pout, cout, b_in, b_out, r_film, r_up, lvl = _up_level(i)
+    blk = dec["filter"]["blocks"][i]
+    up = dec["filter"]["ups"][i]
+    w3 = up["w"].reshape(cin, r_up, cout).transpose(1, 0, 2)
+    rng = np.random.default_rng(40 + i)
+    xp = jnp.asarray(rng.standard_normal((2, b_in, pin * cin)).astype(np.float32) * 0.3)
+    sk = jnp.asarray(rng.standard_normal((2, b_in, pin * cin)).astype(np.float32) * 0.3)
+    cond = jnp.asarray(rng.standard_normal((2, F, CFG.channels)).astype(np.float32) * 0.5)
+    xup = _packed_linear(xp + sk, w3, up["b"], "up", r_up, 0, pin, pout, b_out)
+    want = np.asarray(_filter_block_packed(blk, xup, cond, pout, cout,
+                                           r_film, b_out))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fused_filter_block_up(blk, w3, up["b"], xp, sk, cond, pin, pout,
+                                  cout, r_film, r_up, precision="highest",
+                                  tb_override=tb)
+        )
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-6)
+
+
+@pytest.mark.slow
+def test_fused_up_gradients_match_packed(dec):
+    """custom_vjp of the fused-up path routes backward through the packed
+    XLA composition (up conv + stack); grads must match plain AD."""
+    from alivevc_tpu.kernels.filter_pallas import fused_filter_block_up
+    from alivevc_tpu.models.filter_packed import _packed_linear
+
+    i = 0
+    pin, cin, pout, cout, b_in, b_out, r_film, r_up, lvl = _up_level(i)
+    blk = dec["filter"]["blocks"][i]
+    up = dec["filter"]["ups"][i]
+    w3 = up["w"].reshape(cin, r_up, cout).transpose(1, 0, 2)
+    rng = np.random.default_rng(55)
+    xp = jnp.asarray(rng.standard_normal((1, b_in, pin * cin)).astype(np.float32) * 0.3)
+    sk = jnp.asarray(rng.standard_normal((1, b_in, pin * cin)).astype(np.float32) * 0.3)
+    cond = jnp.asarray(rng.standard_normal((1, F, CFG.channels)).astype(np.float32) * 0.5)
+
+    def loss_fused(blk_, w3_, b_, xp_, sk_, c_):
+        with pltpu.force_tpu_interpret_mode():
+            y = fused_filter_block_up(blk_, w3_, b_, xp_, sk_, c_, pin, pout,
+                                      cout, r_film, r_up, precision="highest")
+        return jnp.sum(y * jnp.cos(0.01 * jnp.arange(y.size).reshape(y.shape)))
+
+    def loss_packed(blk_, w3_, b_, xp_, sk_, c_):
+        xup = _packed_linear(xp_ + sk_, w3_, b_, "up", r_up, 0, pin, pout, b_out)
+        y = _filter_block_packed(blk_, xup, c_, pout, cout, r_film, b_out)
+        return jnp.sum(y * jnp.cos(0.01 * jnp.arange(y.size).reshape(y.shape)))
+
+    args = (blk, w3, up["b"], xp, sk, cond)
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g_p = jax.grad(loss_packed, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4,
+                                   atol=2e-4)
+
+
 def test_film_selectors_invariants():
     """Selector matrices are exact one-hot row selectors: one nonzero (=1)
     per row per tap, taps select frames q, q+1, q+2 with
