@@ -48,7 +48,13 @@ def main(argv=None):
 
     apply_platform_env()
     args = build_parser().parse_args(argv)
-    ds = WaveChunkDataset([args.dataset], length=args.length, max_files=args.max_data)
+    # multi-host dp: each host loads only its file shard (per-host RAM =
+    # corpus/host_count; gradients psum across hosts, so disjoint data is
+    # all that is needed)
+    _hs = ((jax.process_index(), jax.process_count())
+           if jax.process_count() > 1 else None)
+    ds = WaveChunkDataset([args.dataset], length=args.length,
+                          max_files=args.max_data, host_shard=_hs)
     print(f"Loaded {len(ds)} chunks")
     if len(ds) == 0:
         raise SystemExit("no audio chunks found — check the dataset path/length")

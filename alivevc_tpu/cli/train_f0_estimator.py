@@ -34,8 +34,11 @@ def main(argv=None):
 
     apply_platform_env()
     args = build_parser().parse_args(argv)
+    _hs = ((jax.process_index(), jax.process_count())
+           if jax.process_count() > 1 else None)
     ds = WaveChunkDataset(
-        [args.dataset], length=args.length, max_files=args.max_data, with_f0=True
+        [args.dataset], length=args.length, max_files=args.max_data,
+        with_f0=True, host_shard=_hs,
     )
     print(f"Loaded {len(ds)} chunks (WORLD F0 labels precomputed)")
     if len(ds) == 0:

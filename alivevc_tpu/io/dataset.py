@@ -43,7 +43,16 @@ class WaveChunkDataset:
         max_files: int = -1,
         sampling_rate: int = 16_000,
         with_f0: bool = False,
+        host_shard: Optional[tuple] = None,
     ):
+        """host_shard: optional (host_index, host_count) — each host loads
+        only every host_count-th file starting at host_index, so multi-host
+        dp training keeps per-host RAM at corpus_size/host_count instead of
+        replicating the whole corpus (the reference loads everything in every
+        process, module/dataset.py:9-35).  Pass
+        (jax.process_index(), jax.process_count()) from the dp trainers;
+        shuffling stays per-host (dp gradients psum across hosts, so hosts
+        only need disjoint data, not a global permutation)."""
         paths: List[str] = []
         for d in source_dirs:
             for fmt in ("wav", "mp3", "ogg", "flac"):
@@ -51,6 +60,10 @@ class WaveChunkDataset:
         paths.sort()
         if max_files != -1:
             paths = paths[:max_files]
+        if host_shard is not None:
+            hi, hc = host_shard
+            assert 0 <= hi < hc, host_shard
+            paths = paths[hi::hc]
 
         chunks = []
         for path in paths:

@@ -195,6 +195,7 @@ def knn_topk_pallas(
     q_tile: int = 512,
     penalty: jax.Array | None = None,   # [Lr] additive score bias (see below)
     extraction: str = "auto",           # 'auto' | 'packed' | 'exact'
+    valid_rows: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming fused top-k.  Returns (values [Ls, k], indices [Ls, k]).
 
@@ -203,6 +204,11 @@ def knn_topk_pallas(
     penalty[i]); rows with penalty <= -4 can never outrank any real cosine
     (which lives in [-1, 1]) while rows with penalty 0 keep their exact
     score.  Used by the sharded retrieval path to exclude padding rows.
+
+    valid_rows: optional dynamic scalar — rows at index >= valid_rows are
+    excluded exactly (suffix exclusion only).  The sharded 'default' path
+    uses this instead of a penalty column: shard padding is always a row
+    suffix, so the licensed packed two-pass kernel applies at full speed.
 
     precision: 'highest' → 6-pass bf16 MXU (exact near-tie ranking, parity
     with the fp32 reference); 'high' → bf16x3 via operand widening (3 MXU
@@ -222,6 +228,18 @@ def knn_topk_pallas(
     lr = library.shape[0]
     assert lr >= k, f"library has {lr} rows < k={k}"
     tile = min(tile, max(512, 1 << (lr - 1).bit_length()))
+
+    if valid_rows is not None:
+        assert penalty is None, "valid_rows and penalty are exclusive"
+        if precision == "default" and extraction == "auto":
+            from alivevc_tpu.kernels.knn_twopass import knn_topk_twopass
+
+            return knn_topk_twopass(source, library, k=k, tile=tile,
+                                    q_tile=q_tile, valid_rows=valid_rows)
+        # exact modes: express the suffix exclusion as a penalty column
+        penalty = jnp.where(
+            jnp.arange(lr) < valid_rows, 0.0, -10.0
+        ).astype(jnp.float32)
 
     if extraction == "auto" and lr >= 4096:
         # Large libraries route to the two-pass kernels (knn_twopass.py):

@@ -57,8 +57,13 @@ _MERGE_MAX = 2048            # max candidate columns per merge kernel block
 
 
 def _tile_kernel(src_ref, lib_ref, out_ref, *, k: int, tile: int, lr: int,
-                 nbits: int):
-    """Pass A, packed extraction: tile-local top-k, no carry, parallel grid."""
+                 nbits: int, vr_ref=None):
+    """Pass A, packed extraction: tile-local top-k, no carry, parallel grid.
+
+    vr_ref (optional [1,1] SMEM int32): dynamic valid-row count — rows at
+    index >= vr are excluded exactly (the sharded-retrieval path's shard
+    padding is always a row SUFFIX, so no penalty column is needed and the
+    licensed packed extraction applies unchanged)."""
     t = pl.program_id(1)
     sims = jax.lax.dot_general(
         src_ref[:], lib_ref[:],
@@ -67,7 +72,9 @@ def _tile_kernel(src_ref, lib_ref, out_ref, *, k: int, tile: int, lr: int,
     )                                                        # [Ls, TILE]
     base = t * tile
     col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-    if lr % tile:
+    if vr_ref is not None:
+        sims = jnp.where(col + base < vr_ref[0, 0], sims, jnp.float32(-2.0))
+    elif lr % tile:
         sims = jnp.where(col + base < lr, sims, jnp.float32(-2.0))
     mask = jnp.int32((1 << nbits) - 1)
     half = jnp.int32(1 << (nbits - 1))
@@ -260,13 +267,19 @@ def knn_topk_twopass(
     q_tile: int = 512,
     precision: str = "default",
     penalty: jax.Array | None = None,
+    valid_rows: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Two-pass parallel-grid top-k.  Returns (values [Ls, k], idx [Ls, k]).
 
     precision='default' with no penalty uses the licensed packed extraction
     (mantissa-packing perturbation <= 2^(nbits-1) ULP); every other mode —
     'high', 'highest', or any penalty column — uses exact per-tile
-    extraction and is ranking-identical to the carried kernel."""
+    extraction and is ranking-identical to the carried kernel.
+
+    valid_rows: optional dynamic scalar — rows at index >= valid_rows are
+    excluded exactly.  This is the sharded-retrieval fast path: shard
+    padding is always a row suffix, so the licensed packed kernel can skip
+    the penalty column (and its exact-extraction cost) entirely."""
     ls, d = source.shape
     lr = library.shape[0]
     assert lr >= k, f"library has {lr} rows < k={k}"
@@ -304,15 +317,31 @@ def knn_topk_twopass(
                             memory_space=pltpu.VMEM)
 
     if packed:
-        cand = pl.pallas_call(
-            functools.partial(_tile_kernel, k=k, tile=tile, lr=lr,
-                              nbits=nbits),
-            grid=(n_qt, n_tiles),
-            in_specs=in_specs,
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((n_tiles, lsp, k), jnp.float32),
-            compiler_params=params,
-        )(src, lib)
+        if valid_rows is not None:
+            kern = functools.partial(_tile_kernel, k=k, tile=tile, lr=lr,
+                                     nbits=nbits)
+            cand = pl.pallas_call(
+                lambda vr, s, l, o: kern(s, l, o, vr_ref=vr),
+                grid=(n_qt, n_tiles),
+                in_specs=[
+                    pl.BlockSpec((1, 1), lambda q, t: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    *in_specs,
+                ],
+                out_specs=out_spec,
+                out_shape=jax.ShapeDtypeStruct((n_tiles, lsp, k), jnp.float32),
+                compiler_params=params,
+            )(jnp.asarray(valid_rows, jnp.int32).reshape(1, 1), src, lib)
+        else:
+            cand = pl.pallas_call(
+                functools.partial(_tile_kernel, k=k, tile=tile, lr=lr,
+                                  nbits=nbits),
+                grid=(n_qt, n_tiles),
+                in_specs=in_specs,
+                out_specs=out_spec,
+                out_shape=jax.ShapeDtypeStruct((n_tiles, lsp, k), jnp.float32),
+                compiler_params=params,
+            )(src, lib)
         cand2 = jnp.transpose(cand, (1, 0, 2)).reshape(lsp, n_tiles * k)
         # first merge level decodes the packing; chunked when wide so VMEM
         # stays bounded at large libraries (advisor r4)

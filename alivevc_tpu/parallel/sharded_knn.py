@@ -61,6 +61,7 @@ def sharded_match_features(
     axis_name: str = "library",
     chunk: int = 4096,
     impl: str = "auto",
+    precision: str = "highest",
 ) -> jax.Array:
     """match_features with the library sharded across ``axis_name``.
 
@@ -68,16 +69,21 @@ def sharded_match_features(
     the unpadded library.
 
     impl: 'xla' (chunked jnp per shard), 'pallas' (fused streaming kernel per
-    shard; padding rows excluded exactly via the kernel's penalty column), or
-    'auto' (pallas on the TPU backend).
-    """
+    shard; padding rows excluded exactly — via the dynamic valid-row count
+    for the licensed 'default' mode, or a penalty column for the exact
+    modes), or 'auto' (pallas on the TPU backend).
+
+    precision: per-shard kernel mode — 'highest' (exact, the parity
+    contract), 'high' (bf16x3, ~1e-7-faithful), or 'default' (licensed bf16
+    packed two-pass: the pod-scale path pays the same fast kernel as
+    single-chip, r5)."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     def local_fn(src, lib_shard, valid_shard):
         return local_topk_merge(
             src, lib_shard, valid_shard, k=k, alpha=alpha,
-            axis_name=axis_name, chunk=chunk, impl=impl,
+            axis_name=axis_name, chunk=chunk, impl=impl, precision=precision,
         )
 
     fn = jax.shard_map(
@@ -99,14 +105,26 @@ def local_topk_merge(
     axis_name: str,
     chunk: int,
     impl: str,
+    precision: str = "highest",
 ) -> jax.Array:
     """Per-shard top-k + all_gather merge.  Runs INSIDE shard_map; shared by
     the 1-D sharded match and the 2-D pod conversion (distributed_vc)."""
     if impl == "pallas":
         from alivevc_tpu.kernels.knn_pallas import knn_topk_pallas
 
-        pen = jnp.where(valid_shard, 0.0, -4.0).astype(jnp.float32)
-        vals, idx = knn_topk_pallas(src, lib_shard, k=k, penalty=pen)
+        if precision == "default":
+            # shard padding is a row SUFFIX (pad_library_for_sharding appends
+            # at the global tail), so a dynamic valid-row count excludes it
+            # exactly — the licensed 'default' mode keeps the fast packed
+            # two-pass kernel at pod scale instead of paying a penalty
+            # column (r5)
+            vr = jnp.sum(valid_shard.astype(jnp.int32))
+            vals, idx = knn_topk_pallas(src, lib_shard, k=k,
+                                        precision=precision, valid_rows=vr)
+        else:
+            pen = jnp.where(valid_shard, 0.0, -4.0).astype(jnp.float32)
+            vals, idx = knn_topk_pallas(src, lib_shard, k=k,
+                                        precision=precision, penalty=pen)
     else:
         vals, idx = topk_cosine_chunked(
             src, lib_shard, k=k, chunk=min(chunk, lib_shard.shape[0]),

@@ -52,10 +52,20 @@ def main():
               f"compile={compile_s:.0f}s", flush=True)
         return dt
 
-    timed("production default (carry)",
-          lambda s, l, k: knn_topk_pallas(s, l, k, precision="default"))
+    # extraction='exact' forces the carried kernel (the 'auto' route sends
+    # every large-library mode to the two-pass kernels since r5)
+    timed("carried default (exact extr)",
+          lambda s, l, k: knn_topk_pallas(s, l, k, precision="default",
+                                          extraction="exact"))
     timed("twopass (parallel + merge)",
           lambda s, l, k: knn_topk_twopass(s, l, k))
+    pen = jnp.where(jnp.arange(l_shape := lib.shape[0]) < l_shape - 352,
+                    0.0, -10.0).astype(jnp.float32)
+    timed("twopass exact + penalty col",
+          lambda s, l, k: knn_topk_twopass(s, l, k, penalty=pen))
+    timed("twopass packed + valid_rows",
+          lambda s, l, k: knn_topk_twopass(s, l, k,
+                                           valid_rows=jnp.int32(l_shape - 352)))
 
     # agreement at the bench shape
     _, i1 = knn_topk_pallas(src[:2048], lib, 4, precision="default")

@@ -46,6 +46,26 @@ def test_dataset_chunks_and_batches(tmp_path):
     assert batches[0].shape == (2, 16000)
 
 
+def test_dataset_host_shard_partitions_files(tmp_path):
+    """Per-host file sharding (r5): hosts load disjoint file subsets that
+    union to the whole corpus — multi-host dp RAM scales as corpus/hosts."""
+    sr = 16000
+    for i in range(5):
+        wave = np.sin(2 * np.pi * (100 + 40 * i) * np.arange(sr) / sr)
+        write_wav(str(tmp_path / f"f{i}.wav"), wave.astype(np.float32), sr)
+    full = WaveChunkDataset([str(tmp_path)], length=16000)
+    parts = [
+        WaveChunkDataset([str(tmp_path)], length=16000, host_shard=(h, 2))
+        for h in (0, 1)
+    ]
+    assert len(parts[0]) == 3 and len(parts[1]) == 2
+    got = np.concatenate([p.chunks for p in parts])
+    # union equals the full corpus (order differs by interleaving)
+    assert sorted(map(tuple, got[:, :8].round(5))) == sorted(
+        map(tuple, full.chunks[:, :8].round(5))
+    )
+
+
 def test_dataset_resamples(tmp_path):
     sr = 24000
     wave = np.sin(2 * np.pi * 220 * np.arange(int(1.5 * sr)) / sr).astype(np.float32)

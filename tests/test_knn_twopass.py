@@ -142,6 +142,52 @@ def test_exact_twopass_penalty_parity():
     np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), atol=1e-6)
 
 
+def test_valid_rows_suffix_exclusion():
+    """Dynamic valid-row count (the r5 sharded fast path) must exclude the
+    suffix exactly while keeping the licensed packed kernel: results equal
+    the same kernel run on the truncated library (same tile bases, so the
+    packing perturbation is identical)."""
+    rng = np.random.default_rng(31)
+    src = jnp.asarray(rng.standard_normal((32, 768)).astype(np.float32))
+    lib = jnp.asarray(rng.standard_normal((4608, 768)).astype(np.float32))
+    vr = 4100
+    with pltpu.force_tpu_interpret_mode():
+        v1, i1 = knn_topk_twopass(src, lib, 4, valid_rows=jnp.int32(vr))
+        v2, i2 = knn_topk_twopass(src, lib.at[vr:].set(0.0), 4,
+                                  valid_rows=jnp.int32(vr))
+    assert np.asarray(i1).max() < vr
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    # agreement with the exact oracle on the truncated library
+    from alivevc_tpu.ops.knn import topk_cosine_chunked
+
+    _, want_i = topk_cosine_chunked(src, lib[:vr], 4)
+    agree = np.mean(np.sort(np.asarray(want_i), 1) == np.sort(np.asarray(i1), 1))
+    assert agree > 0.9, agree
+
+
+def test_valid_rows_routing_and_exact_mode():
+    """knn_topk_pallas(valid_rows=...) routes 'default' to the packed
+    two-pass kernel and expresses exact modes as a penalty column — both
+    must exclude the suffix."""
+    from alivevc_tpu.kernels.knn_pallas import knn_topk_pallas
+    from alivevc_tpu.ops.knn import topk_cosine_chunked
+
+    rng = np.random.default_rng(37)
+    src = jnp.asarray(rng.standard_normal((16, 768)).astype(np.float32))
+    lib = jnp.asarray(rng.standard_normal((4608, 768)).astype(np.float32))
+    vr = 4500
+    want_v, want_i = topk_cosine_chunked(src, lib[:vr], 4)
+    with pltpu.force_tpu_interpret_mode():
+        _, i_def = knn_topk_pallas(src, lib, 4, precision="default",
+                                   valid_rows=jnp.int32(vr))
+        got_v, got_i = knn_topk_pallas(src, lib, 4, precision="highest",
+                                       valid_rows=jnp.int32(vr))
+    assert np.asarray(i_def).max() < vr
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), atol=1e-6)
+
+
 def test_hierarchical_merge_parity(monkeypatch):
     """Force the chunked pass-B path (as a 1M-row library would) and check
     it is bit-identical to the single-block merge — bounded VMEM must not

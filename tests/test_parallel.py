@@ -40,6 +40,48 @@ def test_sharded_knn_equals_dense(mesh8):
     np.testing.assert_allclose(np.asarray(dense), np.asarray(sharded), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_sharded_knn_1m_frames(mesh8):
+    """BASELINE config #5 at spec: a 1M+-frame library sharded across the
+    8-device mesh must match the dense single-device result exactly
+    (score-merge + vector-psum path, 125k rows per shard).  Queries are kept
+    small so the dense oracle stays CPU-tractable; the per-shard kernel
+    shape (125k rows) is the same one the pod path runs per chip."""
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.standard_normal((16, 768)).astype(np.float32))
+    lib = jnp.asarray((rng.standard_normal((1_000_003, 768)) * 0.5)
+                      .astype(np.float32))
+    dense = match_features(src[None], lib, 4, 0.0)[0]
+    lib_p, valid = pad_library_for_sharding(lib, 8)
+    sharded = sharded_match_features(mesh8, src, lib_p, valid, k=4,
+                                     chunk=8192)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(sharded),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_knn_default_precision_licensed(mesh8):
+    """precision='default' through the sharded path (the r5 pod fast path:
+    valid-row suffix exclusion, no penalty column) — padding rows never
+    surface and agreement with the exact dense result stays high (bf16 +
+    packing noise only flips near-ties)."""
+    rng = np.random.default_rng(9)
+    src = jnp.asarray(rng.standard_normal((32, 768)).astype(np.float32))
+    lib = jnp.asarray(rng.standard_normal((900, 768)).astype(np.float32))
+    dense = match_features(src[None], lib, 4, 0.0)[0]
+    lib_p, valid = pad_library_for_sharding(lib, 8)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        sharded = sharded_match_features(mesh8, src, lib_p, valid, k=4,
+                                         chunk=64, impl="pallas",
+                                         precision="default")
+    # result rows are means of 4 library vectors; licensed flips swap only
+    # near-tied neighbours, so rows agree closely with the exact result
+    a, b = np.asarray(dense), np.asarray(sharded)
+    rel = np.linalg.norm(a - b, axis=1) / (np.linalg.norm(a, axis=1) + 1e-9)
+    assert np.median(rel) < 0.15 and np.isfinite(b).all(), np.median(rel)
+
+
 def test_sharded_knn_duplicate_winner(mesh8):
     """Row duplicated across shards + padding rows must not perturb the mean."""
     rng = np.random.default_rng(1)
