@@ -310,20 +310,59 @@ def _stack_kernel(
     hb: int, tb: int, m: int, ftb: int, n_res: int,
     conv_offs, conv_mat0, precision, film_impl: str = "vpu", qmin: int = 0,
     up_form: str | None = None, upq: int = 1,
+    packc: bool = False, nm: int = 0, kwsel: int = 0,
 ):
-    if up_form:
+    if packc:
+        # operand-collapse mode: conv mats + FiLM tables (+ mxu selectors)
+        # arrive as ONE packed constant buffer with static row slices —
+        # fewer per-grid-step operand streams for the Mosaic pipeline
+        if up_form:
+            (sp_ref, sc_ref, fp_ref, fc_ref, fn_ref, const_ref, bias_ref,
+             upmat_ref, *rest) = refs
+        else:
+            fp_ref, fc_ref, fn_ref, const_ref, bias_ref, *rest = refs
+        (out_ref,) = rest
+    elif up_form:
         (sp_ref, sc_ref, fp_ref, fc_ref, fn_ref, wabc_ref, mats_ref,
          bias_ref, upmat_ref, *rest) = refs
     else:
         fp_ref, fc_ref, fn_ref, wabc_ref, mats_ref, bias_ref, *rest = refs
-    if film_impl in ("mxu", "mxu1", "mxu2"):
-        rsel_ref, out_ref = rest
-    else:
-        (out_ref,) = rest
+    if not packc:
+        if film_impl in ("mxu", "mxu1", "mxu2"):
+            rsel_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
     w = out_ref.shape[-1]
     tbh = hb + tb
     t = pl.program_id(1)
     dt = xc_ref.dtype
+
+    if packc:
+        def _mat(i):
+            return const_ref[i * w : (i + 1) * w]
+
+        _wb0 = nm * w
+
+        def _wabc(s):
+            return const_ref[_wb0 + s * tbh : _wb0 + (s + 1) * tbh]
+
+        _sel0 = _wb0 + 3 * tbh
+
+        def _rsel(s):
+            return const_ref[_sel0 + s * tbh : _sel0 + (s + 1) * tbh, :kwsel]
+
+        _kw = kwsel
+    else:
+        def _mat(i):
+            return mats_ref[i]
+
+        def _wabc(s):
+            return wabc_ref[s]
+
+        def _rsel(s):
+            return rsel_ref[s]
+
+        _kw = rsel_ref.shape[-1] if film_impl in ("mxu", "mxu1", "mxu2") else 0
 
     if up_form == "A":
         # fused up-conv prologue: xp/xc (and sp/sc) are lane-concat VIEWS of
@@ -359,9 +398,9 @@ def _stack_kernel(
     # one bf16 rounding, absorbed by the bf16 path's tolerance.  f32 keeps
     # f32 math for the 5e-6 parity contract.
     ft = dt if dt == jnp.bfloat16 else jnp.float32
-    wa = wabc_ref[0].astype(ft)
-    wb = wabc_ref[1].astype(ft)
-    wc = wabc_ref[2].astype(ft)
+    wa = _wabc(0).astype(ft)
+    wb = _wabc(1).astype(ft)
+    wc = _wabc(2).astype(ft)
     off0 = ftb * m - hb
 
     if film_impl == "mxu1":
@@ -374,14 +413,14 @@ def _stack_kernel(
         # path (broadcast x m + reshape + two sublane-unaligned slices,
         # x12 uses) collapses to one shared 6-op prologue.
         few = jnp.concatenate([fp_ref[0], fc_ref[0], fn_ref[0]], axis=0)
-        kw = rsel_ref.shape[-1]
+        kw = _kw
         w12 = few.shape[-1]
         rows_win = lax.slice(few, (qmin, 0), (qmin + kw, w12)).astype(dt)
-        s0 = lax.dot(rsel_ref[0].astype(dt), rows_win,
+        s0 = lax.dot(_rsel(0).astype(dt), rows_win,
                      preferred_element_type=jnp.float32)
-        s1 = lax.dot(rsel_ref[1].astype(dt), rows_win,
+        s1 = lax.dot(_rsel(1).astype(dt), rows_win,
                      preferred_element_type=jnp.float32)
-        s2 = lax.dot(rsel_ref[2].astype(dt), rows_win,
+        s2 = lax.dot(_rsel(2).astype(dt), rows_win,
                      preferred_element_type=jnp.float32)
         films_all = (s0.astype(ft) * wa + s1.astype(ft) * wb
                      + s2.astype(ft) * wc).astype(dt)       # [TBH, 12W]
@@ -396,17 +435,17 @@ def _stack_kernel(
         # lane-slices its [3ftb, W] frame window (128-aligned, cheap) and
         # expands with 3 exact selector dots.
         few2 = jnp.concatenate([fp_ref[0], fc_ref[0], fn_ref[0]], axis=0)
-        kw2 = rsel_ref.shape[-1]
+        kw2 = _kw
 
         def film(idx):
             rows_win = lax.slice(
                 few2, (qmin, idx * w), (qmin + kw2, (idx + 1) * w)
             ).astype(dt)
-            s0 = lax.dot(rsel_ref[0].astype(dt), rows_win,
+            s0 = lax.dot(_rsel(0).astype(dt), rows_win,
                          preferred_element_type=jnp.float32)
-            s1 = lax.dot(rsel_ref[1].astype(dt), rows_win,
+            s1 = lax.dot(_rsel(1).astype(dt), rows_win,
                          preferred_element_type=jnp.float32)
-            s2 = lax.dot(rsel_ref[2].astype(dt), rows_win,
+            s2 = lax.dot(_rsel(2).astype(dt), rows_win,
                          preferred_element_type=jnp.float32)
             return (s0.astype(ft) * wa + s1.astype(ft) * wb
                     + s2.astype(ft) * wc).astype(dt)
@@ -423,13 +462,13 @@ def _stack_kernel(
             # each dot picks one frame per output row (exact — one nonzero
             # per selector row), replacing the broadcast x m + reshape + two
             # sublane-unaligned slices of the VPU path with 3 MXU passes.
-            kw = rsel_ref.shape[-1]
+            kw = _kw
             rows_win = lax.slice(fe[idx], (qmin, 0), (qmin + kw, w)).astype(dt)
-            s0 = lax.dot(rsel_ref[0].astype(dt), rows_win,
+            s0 = lax.dot(_rsel(0).astype(dt), rows_win,
                          preferred_element_type=jnp.float32)
-            s1 = lax.dot(rsel_ref[1].astype(dt), rows_win,
+            s1 = lax.dot(_rsel(1).astype(dt), rows_win,
                          preferred_element_type=jnp.float32)
-            s2 = lax.dot(rsel_ref[2].astype(dt), rows_win,
+            s2 = lax.dot(_rsel(2).astype(dt), rows_win,
                          preferred_element_type=jnp.float32)
             return (s0.astype(ft) * wa + s1.astype(ft) * wb
                     + s2.astype(ft) * wc).astype(dt)
@@ -456,7 +495,7 @@ def _stack_kernel(
         for i, s in enumerate(offs):
             seg = lax.slice(vp, (smax - s, 0), (smax - s + tbh, w)) if smax else v
             term = lax.dot(
-                seg, mats_ref[conv_mat0[ci] + i].astype(dt),
+                seg, _mat(conv_mat0[ci] + i).astype(dt),
                 preferred_element_type=jnp.float32, precision=precision,
             )
             acc = term if acc is None else acc + term
@@ -608,19 +647,38 @@ def _fused_impl(
 
     prec = (lax.Precision.HIGHEST if precision == "highest"
             else lax.Precision.DEFAULT)
+    # operand collapse (r5): fold conv mats + FiLM tables (+ selectors) into
+    # ONE [rows, W] constant buffer with static in-kernel row slices — cuts
+    # the per-grid-step operand-stream count the Mosaic pipeline must issue.
+    packc = (os.environ.get("ALIVEVC_PACKC", "0") == "1"
+             and film_impl in ("vpu", "mxu"))
     qmin = 0
+    kwsel = 0
     extra_ops, extra_specs = [], []
+    sel = None
     if film_impl in ("mxu", "mxu1", "mxu2"):
         qmin, kw, sel = _film_selectors(r, p, tbh, hb, ftb)
-        extra_ops.append(jnp.asarray(sel).astype(dt))
-        extra_specs.append(
-            pl.BlockSpec((3, tbh, kw), lambda q, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
+        kwsel = kw
+        if packc and kw > w:
+            packc = False          # selector wider than a lane tile: keep
+        if not packc:              # the separate [3, tbh, kw] operand
+            extra_ops.append(jnp.asarray(sel).astype(dt))
+            extra_specs.append(
+                pl.BlockSpec((3, tbh, kw), lambda q, t: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+    nm = mats_all.shape[0]
+    if packc:
+        rows = [mats_all.reshape(nm * w, w), wabc.reshape(3 * tbh, w)]
+        if film_impl == "mxu":
+            selp = np.pad(sel, ((0, 0), (0, 0), (0, w - kwsel)))
+            rows.append(jnp.asarray(selp).astype(dt).reshape(3 * tbh, w))
+        const_all = jnp.concatenate(rows, axis=0)
     kernel = functools.partial(
         _stack_kernel, hb=hb, tb=tb, m=m, ftb=ftb, n_res=n_res,
         conv_offs=tuple(conv_offs), conv_mat0=tuple(conv_mat0), precision=prec,
         film_impl=film_impl, qmin=qmin, up_form=up_form, upq=upq,
+        packc=packc, nm=nm, kwsel=kwsel,
     )
     if up is None:
         lead_ops = (x, x)
@@ -663,44 +721,55 @@ def _fused_impl(
             pl.BlockSpec(upmat.shape, lambda q, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
+    if film_impl in ("mxu1", "mxu2"):
+        fe_specs = [
+            pl.BlockSpec((1, ftb, 4 * n_res * w),
+                         lambda q, t: (q, jnp.maximum(t - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ftb, 4 * n_res * w),
+                         lambda q, t: (q, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ftb, 4 * n_res * w),
+                         lambda q, t: (q, t + 1, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        wabc_spec = pl.BlockSpec(
+            (3, tbh, 4 * n_res * w if film_impl == "mxu1" else w),
+            lambda q, t: (0, 0, 0), memory_space=pltpu.VMEM)
+    else:
+        fe_specs = [
+            pl.BlockSpec((1, 4 * n_res, ftb, w),
+                         lambda q, t: (q, 0, jnp.maximum(t - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * n_res, ftb, w),
+                         lambda q, t: (q, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * n_res, ftb, w),
+                         lambda q, t: (q, 0, t + 1, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        wabc_spec = pl.BlockSpec((3, tbh, w), lambda q, t: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    if packc:
+        const_ops = (const_all,)
+        const_specs = [
+            pl.BlockSpec(const_all.shape, lambda q, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        const_ops = (wabc, mats_all)
+        const_specs = [
+            wabc_spec,
+            pl.BlockSpec(mats_all.shape, lambda q, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(n, nt),
         in_specs=[
             *lead_specs,
-            *(
-                [
-                    pl.BlockSpec((1, ftb, 4 * n_res * w),
-                                 lambda q, t: (q, jnp.maximum(t - 1, 0), 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, ftb, 4 * n_res * w),
-                                 lambda q, t: (q, t, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, ftb, 4 * n_res * w),
-                                 lambda q, t: (q, t + 1, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec(
-                        (3, tbh, 4 * n_res * w if film_impl == "mxu1" else w),
-                        lambda q, t: (0, 0, 0),
-                        memory_space=pltpu.VMEM),
-                ]
-                if film_impl in ("mxu1", "mxu2")
-                else [
-                    pl.BlockSpec((1, 4 * n_res, ftb, w),
-                                 lambda q, t: (q, 0, jnp.maximum(t - 1, 0), 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 4 * n_res, ftb, w),
-                                 lambda q, t: (q, 0, t, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 4 * n_res, ftb, w),
-                                 lambda q, t: (q, 0, t + 1, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((3, tbh, w), lambda q, t: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                ]
-            ),
-            pl.BlockSpec(mats_all.shape, lambda q, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            *fe_specs,
+            *const_specs,
             pl.BlockSpec(bias_all.shape, lambda q, t: (0, 0),
                          memory_space=pltpu.VMEM),
             *up_specs,
@@ -716,7 +785,7 @@ def _fused_impl(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(*lead_ops, fe, fe, fe, wabc, mats_all, bias_all, *up_ops, *extra_ops)
+    )(*lead_ops, fe, fe, fe, *const_ops, bias_all, *up_ops, *extra_ops)
 
     # reflect-pad head: the kernel's zero-pad bulk differs from the reference
     # for the first HB rows; recompute them exactly (causal => a head strip
@@ -724,6 +793,10 @@ def _fused_impl(
     # with dynamic_update_slice — XLA updates the dead `out` buffer in place,
     # where a concatenate would write a fresh full-size level tensor
     # (147-295 MB at the bench shape) just to replace HB rows.
+    if os.environ.get("ALIVEVC_NOHEAD") == "1":
+        # bench-only ablation: skip the reflect-pad head recompute + stitch
+        # (WRONG function for the first HB rows — attribution probes only)
+        return out[:, :b]
     if up is None:
         head_in = x[:, :hb]
     else:

@@ -42,6 +42,7 @@ the carried kernel at the bench shape.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -177,9 +178,12 @@ def _merge_exact(vals: jax.Array, idx: jax.Array, k: int, n_qt: int,
         if c <= _MERGE_MAX:
             n_ch, cw = 1, c
         else:
+            # chunk width must be a multiple of 128 lanes (Mosaic block
+            # constraint) AND of k (candidate-group boundaries); 128*k
+            # satisfies both for any k
+            unit = 128 * k // math.gcd(128, k)
             n_ch = -(-c // _MERGE_MAX)
-            cw = -(-c // n_ch)
-            cw = -(-cw // k) * k          # chunk on candidate boundaries
+            cw = min(-(-(-(-c // n_ch)) // unit) * unit, _MERGE_MAX)
             n_ch = -(-c // cw)
             pad = n_ch * cw - c
             if pad:
@@ -349,8 +353,12 @@ def knn_topk_twopass(
         if width <= _MERGE_MAX:
             n_ch, tpc = 1, n_tiles
         else:
+            # chunk width tpc*k must be a 128-lane multiple (Mosaic block
+            # constraint), so round tiles-per-chunk up accordingly
+            unit_t = 128 // math.gcd(k, 128)
             n_ch = -(-width // _MERGE_MAX)
-            tpc = -(-n_tiles // n_ch)
+            tpc = min(-(-(-(-n_tiles // n_ch)) // unit_t) * unit_t,
+                      _MERGE_MAX // k)
             n_ch = -(-n_tiles // tpc)
             pad_t = n_ch * tpc - n_tiles
             if pad_t:

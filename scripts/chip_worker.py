@@ -70,6 +70,10 @@ def run_job(path: str) -> None:
     t = time.time()
     ok = True
     try:
+        # drop cached repo modules so each job sees the CURRENT source (the
+        # jit/pallas caches those modules held go with them — jobs re-trace)
+        for name in [m for m in sys.modules if m.startswith("alivevc_tpu")]:
+            del sys.modules[name]
         ns = {"__name__": "__chipjob__", "jax": jax, "jnp": jnp}
         exec(compile(src, path, "exec"), ns)
     except BaseException:

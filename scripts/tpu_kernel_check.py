@@ -189,6 +189,59 @@ def main() -> int:
         record(f"fused_filter_lvl{lvl}", err.max(),
                err.max() / (np.abs(ref).max() + 1e-6), 5e-3)
 
+    # ---- r5: exact two-pass kNN ('highest' bit-parity vs chunked oracle) -
+    from alivevc_tpu.kernels.knn_twopass import knn_topk_twopass
+
+    with jax.default_matmul_precision("highest"):
+        want_v, want_i = topk_cosine_chunked(src, lib, 4, chunk=2048)
+    got_v, got_i = knn_topk_twopass(src, lib, 4, precision="highest")
+    idx_mismatch = float(np.mean(np.asarray(got_i) != np.asarray(want_i)))
+    err = np.abs(np.asarray(got_v) - np.asarray(want_v))
+    record("knn_twopass_exact_highest", max(err.max(), idx_mismatch),
+           (err / (np.abs(np.asarray(want_v)) + 1e-3)).max(), 5e-3)
+
+    # ---- r5: dynamic valid-row suffix exclusion (sharded fast path) ------
+    vr = int(lib.shape[0] - 1234)
+    _, gi1 = knn_topk_twopass(src, lib, 4, valid_rows=jnp.int32(vr))
+    _, gi2 = knn_topk_twopass(src[:, :], lib[:vr], 4)
+    oob = float(np.asarray(gi1).max() >= vr)
+    agree = float(np.mean(np.sort(np.asarray(gi1), 1) == np.sort(np.asarray(gi2), 1)))
+    record("knn_twopass_valid_rows", max(oob, 1.0 - agree), 1.0 - agree, 2e-2,
+           {"note": "suffix exclusion + agreement vs truncated library"})
+
+    # ---- r5: fused-up filter levels (up conv + skip in-kernel) -----------
+    from alivevc_tpu.kernels.filter_pallas import fused_filter_block_up
+    from alivevc_tpu.models.filter_packed import _packed_linear
+
+    ps = [_pfac(ch) for ch in chans]
+    for i in range(len(chans)):
+        lvl = len(chans) - 1 - i
+        pin = ps[lvl + 1] if lvl + 1 < len(chans) else 1
+        cin = chans[lvl + 1] if lvl + 1 < len(chans) else chans[-1]
+        pout, cout = ps[lvl], chans[lvl]
+        b_in = lens[lvl + 1] // pin
+        b_out = lens[lvl] // pout
+        r_film = lens[lvl] // f
+        r_up = list(cfg.filter_rates)[lvl]
+        blk = dec["filter"]["blocks"][i]
+        upp = dec["filter"]["ups"][i]
+        w3 = upp["w"].reshape(cin, r_up, cout).transpose(1, 0, 2)
+        xp = jnp.asarray(rng.standard_normal((2, b_in, pin * cin)).astype(np.float32) * 0.3)
+        sk = jnp.asarray(rng.standard_normal((2, b_in, pin * cin)).astype(np.float32) * 0.3)
+        xup = _packed_linear(xp + sk, w3, upp["b"], "up", r_up, 0, pin, pout, b_out)
+        ref = np.asarray(
+            jax.jit(lambda *a: _filter_block_packed(*a, pout, cout, r_film,
+                                                    b_out))(blk, xup, cond)
+        )
+        got = np.asarray(
+            jax.jit(lambda *a: fused_filter_block_up(
+                *a, pin, pout, cout, r_film, r_up, precision="highest"
+            ))(blk, w3, upp["b"], xp, sk, cond)
+        )
+        err = np.abs(got - ref)
+        record(f"fused_up_lvl{lvl}", err.max(),
+               err.max() / (np.abs(ref).max() + 1e-6), 5e-3)
+
     ok = all(r["ok"] for r in results)
     print(json.dumps({"overall_ok": ok, "kernels": len(results), "backend": backend}))
     return 0 if ok else 1

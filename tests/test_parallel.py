@@ -59,27 +59,41 @@ def test_sharded_knn_1m_frames(mesh8):
                                rtol=1e-6, atol=1e-6)
 
 
-def test_sharded_knn_default_precision_licensed(mesh8):
-    """precision='default' through the sharded path (the r5 pod fast path:
-    valid-row suffix exclusion, no penalty column) — padding rows never
-    surface and agreement with the exact dense result stays high (bf16 +
-    packing noise only flips near-ties)."""
+def test_sharded_knn_default_precision_plumbing(mesh8, monkeypatch):
+    """precision='default' through the sharded path must take the r5 pod
+    fast path: each shard's kernel call gets precision='default' and a
+    dynamic valid_rows scalar (NO penalty column), and the valid-row count
+    excludes exactly the shard's padding suffix.  The kernel itself is spied
+    out with an exact oracle (interpret-mode pallas deadlocks inside
+    shard_map on the CPU backend; the packed kernel's valid_rows behavior
+    is covered by test_knn_twopass + the on-chip kernel check)."""
+    import alivevc_tpu.parallel.sharded_knn as sk
+
+    seen = []
+
+    def spy(src_, lib_, k=4, precision=None, valid_rows=None, penalty=None,
+            **kw):
+        seen.append((precision, valid_rows is not None, penalty is None))
+        valid_mask = jnp.arange(lib_.shape[0]) < valid_rows
+        from alivevc_tpu.ops.knn import topk_cosine_chunked
+
+        return topk_cosine_chunked(src_, lib_, k, chunk=lib_.shape[0],
+                                   valid=valid_mask)
+
+    import alivevc_tpu.kernels.knn_pallas as kp
+
+    monkeypatch.setattr(kp, "knn_topk_pallas", spy)
     rng = np.random.default_rng(9)
     src = jnp.asarray(rng.standard_normal((32, 768)).astype(np.float32))
     lib = jnp.asarray(rng.standard_normal((900, 768)).astype(np.float32))
     dense = match_features(src[None], lib, 4, 0.0)[0]
     lib_p, valid = pad_library_for_sharding(lib, 8)
-    from jax.experimental.pallas import tpu as pltpu
-
-    with pltpu.force_tpu_interpret_mode():
-        sharded = sharded_match_features(mesh8, src, lib_p, valid, k=4,
-                                         chunk=64, impl="pallas",
-                                         precision="default")
-    # result rows are means of 4 library vectors; licensed flips swap only
-    # near-tied neighbours, so rows agree closely with the exact result
-    a, b = np.asarray(dense), np.asarray(sharded)
-    rel = np.linalg.norm(a - b, axis=1) / (np.linalg.norm(a, axis=1) + 1e-9)
-    assert np.median(rel) < 0.15 and np.isfinite(b).all(), np.median(rel)
+    sharded = sharded_match_features(mesh8, src, lib_p, valid, k=4,
+                                     chunk=64, impl="pallas",
+                                     precision="default")
+    assert seen and all(s == ("default", True, True) for s in seen), seen
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(sharded),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_sharded_knn_duplicate_winner(mesh8):
