@@ -583,6 +583,11 @@ def _fused_impl(
         tb, b_pad = tb_override, -(-b // tb_override) * tb_override
     else:
         tb, b_pad = _choose_tb(b, p, r, w, hb, jnp.dtype(dt).itemsize)
+    if up_form == "B":
+        # input tiles are tb/q rows and must stay sublane-aligned — the
+        # dispatch gate (fused_up_supported) guarantees this; assert so a
+        # direct caller with a bad tb_override fails loudly
+        assert tb % upq == 0 and (tb // upq) % 8 == 0, (tb, upq)
     nt = b_pad // tb
     if up is None and b_pad > b:
         x = jnp.pad(x, ((0, 0), (0, b_pad - b), (0, 0)))

@@ -322,6 +322,10 @@ def knn_topk_twopass(
 
     if packed:
         if valid_rows is not None:
+            # vr > Lr would let zero-padded rows (cosine 0) into the top-k
+            valid_rows = jnp.minimum(
+                jnp.asarray(valid_rows, jnp.int32), jnp.int32(lr)
+            )
             kern = functools.partial(_tile_kernel, k=k, tile=tile, lr=lr,
                                      nbits=nbits)
             cand = pl.pallas_call(
